@@ -1,0 +1,249 @@
+"""Checkpointing, Keras-H5 weight import, and name-keyed weight surgery.
+
+Covers the reference's persistence surface (SURVEY §5.4):
+  * orbax checkpoints of the full train state (the reference's
+    ``tf.train.Checkpoint`` kept only the network, restarting optimizer
+    state on resume — we checkpoint params, batch stats, opt state, step);
+  * portable weight export/import as a name-keyed flat dict (the h5
+    ``save_weights(by_name=True)`` analogue), plus an importer for the
+    reference's actual Keras h5 files so pretrained TF weights
+    (result_w_8/result_w_13) can be converted to this framework;
+  * the weight surgery used to expand a trained model to more objects
+    (train_casapose.py:399-447): final-conv column copies and CLADE
+    gamma/beta row copies driven by an objects_to_copy mapping.
+"""
+
+import os
+from typing import Dict, Optional
+
+import flax
+import jax
+import numpy as np
+
+
+def flatten_params(tree) -> Dict[str, np.ndarray]:
+    flat = flax.traverse_util.flatten_dict(tree, sep="/")
+    return {k: np.asarray(v) for k, v in flat.items()}
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    return flax.traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
+
+
+# ----------------------------------------------------------------- orbax
+
+
+def save_checkpoint(path, state, step: int, keep: int = 5):
+    """Save a train-state pytree with orbax under ``path/step_N``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, f"step_{step}"), state, force=True)
+    # Prune old checkpoints.
+    steps = sorted(
+        int(d.split("_")[1]) for d in os.listdir(path) if d.startswith("step_") and d.split("_")[1].isdigit()
+    )
+    for s in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, f"step_{s}"), ignore_errors=True)
+
+
+def latest_checkpoint_step(path) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    steps = [
+        int(d.split("_")[1]) for d in os.listdir(path) if d.startswith("step_") and d.split("_")[1].isdigit()
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(path, template, step: Optional[int] = None):
+    """Restore a train-state pytree; ``template`` supplies the structure."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_checkpoint_step(path)
+        if step is None:
+            return None, None
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.join(os.path.abspath(path), f"step_{step}"), item=template)
+    return restored, step
+
+
+# ------------------------------------------------------- portable weights
+
+
+def save_weights_npz(path, variables):
+    """Portable name-keyed export (params + batch_stats) as one .npz."""
+    flat = {}
+    for col, tree in variables.items():
+        for k, v in flatten_params(tree).items():
+            flat[f"{col}/{k}"] = v
+    np.savez(path, **flat)
+
+
+def load_weights_npz(path, variables, by_name=True, skip_mismatch=True):
+    """Merge an .npz export into ``variables`` (name-keyed, like Keras
+    ``load_weights(by_name=True, skip_mismatch=True)``)."""
+    data = np.load(path)
+    out = {col: flatten_params(tree) for col, tree in variables.items()}
+    loaded, skipped = 0, []
+    for key in data.files:
+        col, _, rest = key.partition("/")
+        if col in out and rest in out[col]:
+            if out[col][rest].shape == data[key].shape:
+                out[col][rest] = data[key]
+                loaded += 1
+            elif not skip_mismatch:
+                raise ValueError(f"shape mismatch for {key}: {out[col][rest].shape} vs {data[key].shape}")
+            else:
+                skipped.append(key)
+        elif not by_name:
+            raise KeyError(key)
+        else:
+            skipped.append(key)
+    result = {col: unflatten_params(flat) for col, flat in out.items()}
+    return result, loaded, skipped
+
+
+# ------------------------------------------------------------ h5 import
+
+
+def _h5_weight_map(h5_path):
+    """Flat {layer_name/weight_name: array} from a Keras save_weights h5."""
+    import h5py
+
+    out = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            out[name] = np.asarray(obj)
+
+    with h5py.File(h5_path, "r") as f:
+        f.visititems(visit)
+    return out
+
+
+def import_keras_h5(h5_path, variables, verbose=False):
+    """Convert a reference Keras h5 export into our variable tree.
+
+    Handles the layout differences: PartialConvolution weights are stored
+    (ch, 3, 3, dim) (ref _normalization_layers.py:314-318) -> HWIO; BN
+    gamma/beta/moving_* -> flax scale/bias/mean/var; CLADE per-class tables
+    keep their (C, ch) layout. Unknown datasets are skipped (by-name
+    semantics).
+    """
+    raw = _h5_weight_map(h5_path)
+    params = flatten_params(variables["params"])
+    stats = flatten_params(variables.get("batch_stats", {}))
+
+    def candidates(layer):
+        # our tree prefixes: backbone layers live under backbone/
+        return [layer, f"backbone/{layer}"]
+
+    loaded, skipped = 0, []
+    for key, value in raw.items():
+        parts = [p for p in key.split("/") if p]
+        wname = parts[-1].split(":")[0]
+        layer = None
+        for p in parts[:-1]:
+            layer = p  # innermost group before the dataset
+        if layer is None:
+            skipped.append(key)
+            continue
+        placed = False
+        for base in candidates(layer):
+            if wname == "kernel":
+                k = f"{base}/kernel"
+                if k in params and params[k].shape == value.shape:
+                    params[k] = value
+                    placed = True
+            elif wname in ("gamma", "beta") or wname.endswith("_gamma") or wname.endswith("_beta"):
+                suffix = "scale" if wname.endswith("gamma") else "bias"
+                kbn = f"{base}/{suffix}"
+                kclade = f"{base}/{'gamma' if wname.endswith('gamma') else 'beta'}"
+                if kbn in params and params[kbn].shape == value.shape:
+                    params[kbn] = value
+                    placed = True
+                elif kclade in params and params[kclade].shape == value.shape:
+                    params[kclade] = value
+                    placed = True
+            elif wname in ("moving_mean", "moving_variance"):
+                suffix = "mean" if wname == "moving_mean" else "var"
+                for k in (f"{base}/{suffix}", f"{base}/bn/{suffix}"):
+                    if k in stats and stats[k].shape == value.shape:
+                        stats[k] = value
+                        placed = True
+                        break
+            elif wname.endswith("_weights"):  # PartialConvolution (ch,3,3,dim)
+                k = f"{base}/kernel"
+                if k in params and value.ndim == 4:
+                    transposed = value.transpose(1, 2, 0, 3)
+                    if params[k].shape == transposed.shape:
+                        params[k] = transposed
+                        placed = True
+            if placed:
+                break
+        if placed:
+            loaded += 1
+        else:
+            skipped.append(key)
+    if verbose and skipped:
+        print(f"import_keras_h5: loaded {loaded}, skipped {len(skipped)}: {skipped[:10]}...")
+    out = dict(variables)
+    out["params"] = unflatten_params(params)
+    if stats:
+        out["batch_stats"] = unflatten_params(stats)
+    return out, loaded, skipped
+
+
+# --------------------------------------------------------- weight surgery
+
+
+def copy_weights_segmentation(params, params_backup, range_out, range_in, layer="pv_final_conv_segmentation"):
+    """Copy final-conv output columns per class mapping (expand to more
+    objects; train_casapose.py:414-420)."""
+    flat = flatten_params(params)
+    backup = flatten_params(params_backup)
+    k = f"{layer}/kernel"
+    kernel = flat[k].copy()
+    kernel[0, 0, :, list(range_out)] = backup[k][0, 0, :, list(range_in)]
+    flat[k] = kernel
+    return unflatten_params(flat)
+
+
+def copy_clade_weights(params, params_backup, range_out, range_in, layer):
+    """Copy CLADE gamma/beta rows per class mapping (train_casapose.py:430-437)."""
+    flat = flatten_params(params)
+    backup = flatten_params(params_backup)
+    for wname in ("gamma", "beta"):
+        k = f"{layer}/{wname}"
+        table = flat[k].copy()
+        table[list(range_out)] = backup[k][list(range_in)]
+        flat[k] = table
+    return unflatten_params(flat)
+
+
+def copy_weights_vertex(params, params_backup, ver_dim, layer="pv_final_conv_vertex"):
+    """Copy the first ``ver_dim`` output columns (add confidence maps to a
+    confidence-less net; train_casapose.py:401-409)."""
+    flat = flatten_params(params)
+    backup = flatten_params(params_backup)
+    k = f"{layer}/kernel"
+    kernel = flat[k].copy()
+    kernel[0, 0, :, :ver_dim] = backup[k][0, 0, :, :ver_dim]
+    flat[k] = kernel
+    return unflatten_params(flat)
+
+
+def apply_expansion_surgery(params, params_backup, objects_to_copy):
+    """Full expansion surgery: seg conv + all five CLADE tables
+    (train_casapose.py:439-447)."""
+    range_in = objects_to_copy[:, 0].tolist()
+    range_out = objects_to_copy[:, 1].tolist()
+    params = copy_weights_segmentation(params, params_backup, range_out, range_in)
+    for n in range(6, 11):
+        params = copy_clade_weights(params, params_backup, range_out, range_in, f"pv_block_{n}_clade")
+    return params

@@ -1,0 +1,330 @@
+"""Evaluation harness: accuracy (ADD(-S)/2D), losses, timing, BOP export.
+
+Rebuild of test_casapose.py:262-556 around one jit-compiled eval step:
+network forward -> LS voting (with connected-component filtering) -> BPnP
+pose solve -> ADD(-S)/2D metrics against the full eval meshes, plus loss
+reporting and per-object accumulation. The per-batch ``time`` column times
+the jitted step (device-synchronized), matching the reference's
+tf.timestamp bracket around net+voting+PnP+eval.
+"""
+
+import datetime
+import glob
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casapose_tpu.data.pipeline import prepare_device_batch
+from casapose_tpu.losses.losses import LossWeights, composite_loss, keypoint_reprojection_loss, proxy_voting_dist
+from casapose_tpu.ops.vectorfield import get_all_vectorfields
+from casapose_tpu.ops.voting import ls_voting
+from casapose_tpu.pose.evaluation import estimate_and_evaluate_poses, evaluate_pose_estimates
+from casapose_tpu.train import build_model_from_opt, init_model
+
+
+def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count, loss_weights: LossWeights):
+    """jit-compiled eval step returning losses, pose stats, proxy errors."""
+    seg_dim = 1 + no_objects
+    k = opt.no_points
+    separated = opt.modelname == "pvnet"
+    mesh_vertex_array = jnp.asarray(mesh_vertex_array)
+    mesh_vertex_count = jnp.asarray(mesh_vertex_count)
+
+    @jax.jit
+    def step(variables, batch):
+        img, target_seg = prepare_device_batch(
+            batch["img"], batch["seg"], seg_dim, rng_key=None, grayscale_to_rgb=not opt.color_dataset
+        )
+        target_vertex = batch["keypoints2d"]
+        keypoints3d = batch["keypoints3d"]
+        cam_mat = batch["camera"]
+        diameters = batch["diameters"]
+        offsets = batch["offsets"]
+        poses_gt = batch["poses_gt"]
+
+        target_dirs = get_all_vectorfields(target_seg, target_vertex, batch["seg"], separated)
+        gt_seg_input = target_seg if opt.train_vectors_with_ground_truth else None
+        output_net = model.apply(variables, img, gt_seg_input, train=False)
+
+        output_seg = output_net[..., :seg_dim]
+        if opt.estimate_confidence:
+            output_dirs = output_net[..., seg_dim : seg_dim + 2 * k]
+            confidence = output_net[..., seg_dim + 2 * k :]
+        else:
+            output_dirs = output_net[..., seg_dim:]
+            confidence = None
+
+        kp_loss = None
+        poses_est = points_est = None
+        if opt.estimate_coords:
+            voting_seg = target_seg if opt.train_vectors_with_ground_truth else output_seg
+            coords = ls_voting(
+                voting_seg,
+                output_dirs,
+                confidence,
+                num_points=k,
+                filter_estimates=bool(opt.confidence_filter_estimates),
+                output_second_largest_component=bool(opt.confidence_choose_second),
+            )
+            kp_loss, poses_est, points_est = keypoint_reprojection_loss(
+                coords,
+                output_seg,
+                poses_gt,
+                keypoints3d,
+                target_seg,
+                cam_mat,
+                offsets,
+                confidence,
+                min_num=opt.min_object_size_test,
+                min_num_gt=1,
+                use_bpnp_reprojection_loss=bool(opt.use_bpnp_reprojection_loss),
+                estimate_poses=True,
+                filter_with_gt=bool(opt.filter_test_with_gt),
+            )
+            pose_stats, estimated_poses, estimated_points = evaluate_pose_estimates(
+                points_est,
+                poses_est,
+                poses_gt,
+                target_seg,
+                keypoints3d,
+                cam_mat,
+                diameters,
+                evaluation_points=mesh_vertex_array,
+                object_points_3d_count=mesh_vertex_count,
+                min_num=1,
+            )
+            estimated_poses = estimated_poses[:, :, 0]
+        else:
+            pose_stats, estimated_poses, estimated_points = estimate_and_evaluate_poses(
+                output_seg,
+                target_seg,
+                output_dirs,
+                poses_gt,
+                keypoints3d,
+                cam_mat,
+                diameters,
+                offsets,
+                evaluation_points=mesh_vertex_array,
+                object_points_3d_count=mesh_vertex_count,
+                min_num=1,
+            )
+
+        losses = composite_loss(
+            output_seg, target_seg, output_dirs, target_dirs, target_vertex, loss_weights, kp_loss=kp_loss
+        )
+        _, object_loss_values = proxy_voting_dist(
+            output_dirs,
+            target_vertex,
+            vertex_one_hot_weights=target_seg[:, :, :, 1:],
+            vertex_weights=target_seg[:, :, :, 0:1],
+            invert_weights=True,
+        )
+        return {
+            "losses": jnp.stack(losses),
+            "pose_stats": pose_stats,
+            "proxy_per_object": object_loss_values,
+            "estimated_poses": estimated_poses,
+            "estimated_points": estimated_points,
+            "output_seg": output_seg,
+            "output_dirs": output_dirs,
+            "target_dirs": target_dirs,
+            "confidence": confidence if confidence is not None else jnp.zeros_like(output_seg[..., :1]),
+        }
+
+    return step
+
+
+def run_evaluation(opt):
+    """Full eval driver; returns the summary metrics dict."""
+    from casapose_tpu.core.checkpoint import import_keras_h5, load_weights_npz, restore_checkpoint
+    from casapose_tpu.data.ndds import VectorfieldDataset
+    from casapose_tpu.utils.io import write_poses
+
+    os.makedirs(opt.evalf, exist_ok=True)
+    objectsofinterest = [x.strip() for x in opt.object.split(",")]
+    no_objects = len(objectsofinterest)
+    separated = opt.modelname == "pvnet"
+
+    test_dataset = VectorfieldDataset(
+        root=opt.datatest,
+        path_meshes=opt.datameshes,
+        path_filter_root=opt.datatest_path_filter,
+        color_input=opt.color_dataset,
+        no_points=opt.no_points,
+        objectsofinterest=objectsofinterest,
+        noise=0.00001,
+        random_translation=(0, 0),
+        random_rotation=0,
+        random_crop=False,
+        separated_vectorfields=separated,
+        wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
+    )
+    testingdata, test_batches = test_dataset.generate_dataset(
+        1, 1, opt.prefetch, opt.imagesize_test, 1.0, opt.workers, no_objects, shuffle=False, seed=opt.manualseed
+    )
+    mesh_vertex_array, mesh_vertex_count = test_dataset.generate_object_vertex_array()
+
+    model = build_model_from_opt(opt, no_objects)
+    variables = init_model(model, opt.imagesize_test, opt.train_vectors_with_ground_truth, seed=opt.manualseed)
+
+    frozen_path = os.path.join(opt.outf, "frozen_model")
+    if opt.load_h5_weights:
+        fname = opt.load_h5_filename
+        candidates = [fname + ".npz", os.path.join(frozen_path, fname + ".npz"), fname + ".h5",
+                      os.path.join(frozen_path, fname + ".h5")]
+        for c in candidates:
+            if os.path.exists(c):
+                if c.endswith(".npz"):
+                    variables, n, _ = load_weights_npz(c, variables)
+                else:
+                    variables, n, _ = import_keras_h5(c, variables)
+                print(f"loaded {n} arrays from {c}")
+                break
+        else:
+            raise FileNotFoundError(f"no weights found among {candidates}")
+    elif opt.net:
+        checkpoint_path = os.path.join(opt.outf, opt.net)
+        restored, step = restore_checkpoint(checkpoint_path, None)
+        if restored is not None:
+            variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+            print(f"restored checkpoint at step {step}")
+
+    loss_weights = LossWeights(
+        mask_loss_weight=opt.mask_loss_weight,
+        vertex_loss_weight=opt.vertex_loss_weight,
+        proxy_loss_weight=opt.proxy_loss_weight,
+        kp_loss_weight=opt.keypoint_loss_weight,
+    )
+    step = build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count, loss_weights)
+
+    with open(os.path.join(opt.evalf, "loss_test_eval.csv"), "w") as f:
+        f.write(
+            "batchid,loss,mask_loss,vertex_loss,proxy_loss,kp_loss,mask_loss_weight,vertex_loss_weight,"
+            "proxy_loss_weight,kp_loss_weight\n"
+        )
+    with open(os.path.join(opt.evalf, "test_summary_eval.csv"), "w") as f:
+        s = "loss,mask_loss,vertex_loss,proxy_loss,kp_loss,time"
+        for obj in objectsofinterest:
+            s += f",2d_{obj}"
+        s += ",2d_mean"
+        for obj in objectsofinterest:
+            s += f",3d_{obj}"
+        s += ",3d_mean\n"
+        f.write(s)
+
+    if os.path.exists(os.path.join(opt.evalf, "poses_out")):
+        for f in sorted(glob.glob(os.path.join(opt.evalf, "poses_out", "*", "*.txt"))):
+            os.remove(f)
+
+    test_loss = np.zeros(5)
+    sums = {k: np.zeros(no_objects) for k in ("v2d", "v3d", "gt", "fp", "e2d", "e3d", "missed")}
+    times = []
+
+    print(f"Test Batches: {test_batches}")
+    for batch_idx in range(int(test_batches)):
+        batch = testingdata.get_next()
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+        t0 = time.time()
+        out = step(variables, dev_batch)
+        out["losses"].block_until_ready()
+        dt = time.time() - t0
+        times.append(dt)
+
+        losses = np.asarray(out["losses"])
+        ps = [np.asarray(x) for x in out["pose_stats"]]
+        test_loss += losses
+        sums["v2d"] += ps[0]
+        sums["v3d"] += ps[1]
+        sums["gt"] += ps[2]
+        sums["fp"] += ps[7]
+        sums["e2d"] += ps[4]
+        sums["e3d"] += ps[5]
+        sums["missed"] += ps[6]
+
+        with open(os.path.join(opt.evalf, "loss_test_eval.csv"), "a") as f:
+            f.write(
+                "{},{:.15f},{:.7f},{:.7f},{:.7f},{:.7f},{:.7f}\n".format(
+                    batch_idx + 1, losses[0], losses[1], losses[2], losses[3], losses[4], dt
+                )
+            )
+        if (batch_idx + 1) % max(opt.loginterval, 1) == 0:
+            print(
+                f"Batch idx: {batch_idx}, Loss: {losses[0]:.5f} --- mask: {losses[1]:.5f}, "
+                f"vector: {losses[2]:.5f}, proxy: {losses[3]:.5f}, kp: {losses[4]:.5f} "
+                f"-- Average Loss: {test_loss[0] / (batch_idx + 1):.5f}"
+            )
+            print(f"Test Sum GT: {sums['gt']}")
+            print(f"Test Sum 2D: {sums['v2d']}")
+            print(f"Test Sum 3D: {sums['v3d']}")
+
+        if opt.write_poses:
+            write_poses(
+                batch["poses_gt"][0],
+                np.asarray(out["estimated_poses"])[0],
+                objectsofinterest,
+                batch["image_id"][0],
+                os.path.join(opt.evalf, "poses_out") + "/",
+            )
+        if opt.save_eval_batches:
+            from casapose_tpu.utils.visualization import save_eval_batch
+
+            save_eval_batch(
+                batch,
+                np.asarray(out["output_seg"]),
+                np.asarray(out["target_dirs"]),
+                np.asarray(out["output_dirs"]),
+                np.asarray(out["estimated_poses"]),
+                np.asarray(out["estimated_points"]),
+                no_objects,
+                opt.no_points,
+                path_out=os.path.join(opt.evalf, "visual_batch_eval_mask"),
+                confidence=np.asarray(out["confidence"]),
+                add_correct=ps[1],
+                batch_idx=batch_idx,
+            )
+
+    test_loss /= max(int(test_batches), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        err_2d = np.nan_to_num(sums["v2d"] / sums["gt"])
+        err_3d = np.nan_to_num(sums["v3d"] / sums["gt"])
+        detection_count = sums["gt"] - sums["missed"] + sums["fp"]
+        detection_count = np.where(sums["gt"] == 0, 0.0, detection_count)
+        precision = np.nan_to_num(np.where(detection_count > 0, sums["v3d"] / np.maximum(detection_count, 1e-9), 0.0))
+    mean_time = float(np.mean(times[10:])) if len(times) > 10 else float(np.mean(times)) if times else 0.0
+
+    print("==========================")
+    print(
+        f"== TEST == Finished test with total loss: {test_loss[0]:.7f} --- mask: {test_loss[1]:.7f}, "
+        f"vector: {test_loss[2]:.7f}, proxy: {test_loss[3]:.7f}, kp: {test_loss[4]:.7f} =="
+    )
+    print(f"2D Valid: {err_2d}")
+    print(f"2D Valid (mean): {err_2d.mean()}")
+    print(f"3D Valid: {err_3d}")
+    print(f"3D Valid (mean): {err_3d.mean()}")
+    print(f"3D Valid (precision): {precision}")
+    print(f"3D Valid (average precision): {precision.mean()}")
+    print("==========================")
+
+    with open(os.path.join(opt.evalf, "test_summary_eval.csv"), "a") as f:
+        s = "{:.7f},{:.7f},{:.7f},{:.7f},{:.7f},{:.5f}".format(
+            test_loss[0], test_loss[1], test_loss[2], test_loss[3], test_loss[4], mean_time
+        )
+        for i in range(no_objects):
+            s += f",{err_2d[i]:.4f}"
+        s += f",{err_2d.mean():.4f}"
+        for i in range(no_objects):
+            s += f",{err_3d[i]:.4f}"
+        s += f",{err_3d.mean():.4f}\n"
+        f.write(s)
+
+    return {
+        "loss": test_loss,
+        "err_2d": err_2d,
+        "err_3d": err_3d,
+        "precision": precision,
+        "mean_time": mean_time,
+    }

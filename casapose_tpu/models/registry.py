@@ -1,0 +1,99 @@
+"""Model zoo registry: reference model names -> VariantSpecs.
+
+Mirrors casapose/pose_models/models_factory.py:9-32. Each entry reproduces
+the wiring of the corresponding hand-unrolled Keras graph (see
+casapose.py docstring in this package). ``Classifiers.get(name)`` keeps the
+reference's factory API shape.
+"""
+
+from typing import Optional
+
+from casapose_tpu.models.casapose import CASAPoseModel, DecoderParams, PVNetModel, VariantSpec
+
+_DP = DecoderParams
+
+
+def _spec(pc=(0, 0, 0, 0, 0), gu=False, bu=False, rc=(0, 0, 0, 0, 0), **kw):
+    """Build a VariantSpec; gu/bu apply to the upsampled layers (1..3)."""
+    params = tuple(
+        _DP(
+            weighted_clade=True,
+            partial_conv=bool(pc[i]),
+            guided_upsampling=gu and 0 < i < 4,
+            bilinear_upsampling=bu and 0 < i < 4,
+            reuse_conv=bool(rc[i]),
+        )
+        for i in range(5)
+    )
+    return VariantSpec(decoder_params=params, **kw)
+
+
+MODEL_SPECS = {
+    # Paper models (BMVC 2022)
+    "casapose_c": _spec(stop_gradient_mask=False, halfsize_trainable=True),  # Conditional1
+    "casapose_c_gu": _spec(gu=True),  # Conditional2
+    "casapose_c_gcu3": _spec(pc=(1, 1, 1, 0, 0), gu=True),  # Conditional3
+    "casapose_c_gcu4": _spec(pc=(1, 1, 1, 1, 0), gu=True),  # Conditional4
+    "casapose_c_gcu5": _spec(pc=(1, 1, 1, 1, 1), gu=True),  # Conditional5 (flagship)
+    # Configurable builder with the shipped "clade" params == gcu5 wiring.
+    "casapose_custom": _spec(pc=(1, 1, 1, 1, 1), gu=True),
+    # Alternative models
+    "casapose_c_gcu5_sw5": _spec(rc=(1, 1, 1, 1, 1), gu=True),  # Conditional6
+    "casapose_c_gcu4_sw1": _spec(pc=(0, 1, 1, 1, 1), rc=(1, 0, 0, 0, 0), gu=True),  # Conditional7
+    "casapose_c_gcu5_sw1": _spec(  # Conditional8: no decoder-2 skip concats
+        pc=(0, 1, 1, 1, 1), rc=(1, 0, 0, 0, 0), gu=True, decoder2_skip_connections=False
+    ),
+    "casapose_c_gcu4_bilat": _spec(pc=(1, 1, 1, 1, 0), gu=True, bu=True),  # Conditional9
+    "casapose_c_gcu4_sw2": _spec(pc=(0, 0, 1, 1, 0), rc=(1, 1, 0, 0, 0), gu=True),  # Conditional10
+}
+
+PVNET_NAMES = ("pvnet", "pvnet_combined")
+
+
+def get_model(
+    name: str,
+    ver_dim: int,
+    seg_dim: int,
+    base_model: str = "resnet18",
+    output_labelmap: bool = False,
+    **kwargs,
+):
+    """Instantiate a model module by reference name."""
+    if name in PVNET_NAMES:
+        return PVNetModel(
+            ver_dim=ver_dim, seg_dim=seg_dim, base_model=base_model, output_labelmap=output_labelmap, **kwargs
+        )
+    if name not in MODEL_SPECS:
+        raise ValueError(f"No such model `{name}`, available models: {sorted(MODEL_SPECS) + list(PVNET_NAMES)}")
+    return CASAPoseModel(
+        spec=MODEL_SPECS[name],
+        ver_dim=ver_dim,
+        seg_dim=seg_dim,
+        base_model=base_model,
+        output_labelmap=output_labelmap,
+        **kwargs,
+    )
+
+
+class _ClassifiersFactory:
+    """API-compatible stand-in for the reference's ``Classifiers``."""
+
+    def models_names(self):
+        return sorted(MODEL_SPECS) + list(PVNET_NAMES)
+
+    def get(self, name: str):
+        if name not in self.models_names():
+            raise ValueError(f"No such model `{name}`, available models: {self.models_names()}")
+
+        def factory(ver_dim, seg_dim, base_model="resnet18", **kwargs):
+            kwargs.pop("input_shape", None)
+            kwargs.pop("input_segmentation_shape", None)
+            kwargs.pop("input_tensor", None)
+            kwargs.pop("weights", None)
+            kwargs.pop("backbone", None)
+            return get_model(name, ver_dim, seg_dim, base_model=base_model, **kwargs)
+
+        return factory
+
+
+Classifiers = _ClassifiersFactory()

@@ -1,0 +1,108 @@
+"""Connected-component labeling as fixed-shape, on-device label propagation.
+
+Replaces ``tfa.image.connected_components`` (a C++/CUDA custom op used by
+the LS-voting instance filter, casapose/pose_estimation/voting_layers_2d.py:
+43-79) with a TPU-friendly formulation:
+
+  * every foreground pixel starts with a unique label (its linear index + 1);
+  * labels are propagated with *segmented max-scans* along rows and columns
+    (``jax.lax.associative_scan`` with a reset-at-background operator), which
+    floods an entire contiguous run per sweep instead of one pixel per step;
+  * sweeps repeat under ``lax.while_loop`` until a fixed point — typically
+    a handful of iterations for real object masks, vs O(image diameter) for
+    naive 4-neighbor dilation.
+
+The result is 4-connected components identified by their maximum linear
+index, from which per-component sizes follow with one scatter-add.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _segmented_max_scan(values, resets, axis, reverse=False):
+    """Max-scan of ``values`` along ``axis`` that restarts at ``resets``.
+
+    Classic segmented-scan operator (associative):
+      (r1, v1) . (r2, v2) = (r1|r2, v2 if r2 else max(v1, v2))
+    """
+
+    def combine(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb))
+
+    _, out = lax.associative_scan(combine, (resets, values), axis=axis, reverse=reverse)
+    return out
+
+
+def _sweep(labels, fg):
+    """One row+column flood sweep (both directions)."""
+    resets = ~fg
+    for axis in (2, 1):  # rows then columns
+        fwd = _segmented_max_scan(labels, resets, axis=axis)
+        bwd = _segmented_max_scan(labels, resets, axis=axis, reverse=True)
+        labels = jnp.where(fg, jnp.maximum(fwd, bwd), 0)
+    return labels
+
+
+def connected_components_labels(fg, max_sweeps=64):
+    """4-connected component labels of binary masks.
+
+    Args:
+      fg: [M, h, w] boolean foreground masks.
+      max_sweeps: safety cap on flood sweeps (each sweep floods whole
+        row/column runs, so convergence is fast in practice).
+    Returns:
+      [M, h, w] int32 labels: 0 on background; each component carries its
+      maximum linear index + 1.
+    """
+    m, h, w = fg.shape
+    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(1, h, w)
+    labels = jnp.where(fg, idx, 0)
+
+    def cond(state):
+        i, labels, changed = state
+        return changed & (i < max_sweeps)
+
+    def body(state):
+        i, labels, _ = state
+        new = _sweep(labels, fg)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = lax.while_loop(cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    return labels
+
+
+def largest_component_mask(fg, min_size=50, second_largest=False):
+    """Keep only the largest (or second-largest) component of each mask.
+
+    Mirrors the reference's bincount + top-k filter
+    (voting_layers_2d.py:58-79): components smaller than ``min_size`` pixels
+    are discarded entirely.
+
+    Args:
+      fg: [M, h, w] boolean masks.
+    Returns:
+      [M, h, w] float32 mask of the selected component (possibly all-zero).
+    """
+    m, h, w = fg.shape
+    labels = connected_components_labels(fg)
+    flat = labels.reshape(m, h * w)
+
+    def sizes_for(row):
+        return jnp.zeros(h * w + 1, jnp.int32).at[row].add(1)
+
+    counts = jax.vmap(sizes_for)(flat)  # [M, h*w+1]
+    counts = counts.at[:, 0].set(0)  # background label
+    counts = jnp.where(counts < min_size, 0, counts)
+    if second_largest:
+        # Zero out the largest component's count, then take the max again.
+        largest = jnp.max(counts, axis=1, keepdims=True)
+        arg_largest = jnp.argmax(counts, axis=1)
+        counts = jax.vmap(lambda c, i: c.at[i].set(0))(counts, arg_largest)
+    target = jnp.max(counts, axis=1)  # [M]
+    per_pixel = jnp.take_along_axis(counts, flat, axis=1).reshape(m, h, w)
+    keep = fg & (per_pixel == target[:, None, None]) & (target[:, None, None] > 0)
+    return keep.astype(jnp.float32)

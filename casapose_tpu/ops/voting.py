@@ -1,0 +1,131 @@
+"""Differentiable weighted least-squares keypoint voting.
+
+TPU-native rework of ``CoordLSVotingWeighted``
+(casapose/pose_estimation/voting_layers_2d.py:5-122). Per (object o,
+keypoint k) the voted point solves the normal equations accumulated over all
+pixels p of class o:
+
+    R[o,k] = sum_p  m[p,o] w[p,k] (I - n n^T)[p,k]          (2x2)
+    q[o,k] = sum_p  m[p,o] w[p,k] (I - n n^T)[p,k] c[p]     (2,)
+    point  = pinv(R) q * h
+
+where n is the predicted unit direction, c the pixel-center coordinate
+normalized by image *height* on both axes (reference quirk, kept), and w a
+softplus/sigmoid confidence.
+
+Instead of materializing the reference's [b,h,w,O,K,2,2] tensor and reducing
+it in float64 (voting_layers_2d.py:107-116), the accumulation is phrased as
+a single MXU matmul  S = M @ A  with M = one-hot class masks [O, P] and
+A[p, (k,f)] = w * {a, b, d, qy, qx, 1}[p, k]: XLA's tree reduction keeps
+float32 accumulation accurate, and normalizing by the weight mass (feature
+f=5) before the tiny 2x2 pseudo-inverse keeps the solve conditioned, so no
+float64 island is needed.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from casapose_tpu.core.numerics import divide_no_nan
+from casapose_tpu.ops.connected_components import largest_component_mask
+
+
+def _pinv_2x2_solve(a, b, d, qy, qx):
+    """Solve [[a,b],[b,d]] p = [qy,qx] with pseudo-inverse fallback.
+
+    Handles the rank-1 (all directions parallel) and rank-0 (empty mask)
+    cases that ``tf.linalg.pinv`` covered in the reference.
+    """
+    det = a * d - b * b
+    trace = a + d
+    scale = jnp.maximum(trace, 1e-30)
+    # Full-rank branch.
+    ok = det > (1e-6 * scale * scale)
+    safe_det = jnp.where(ok, det, 1.0)
+    py_full = (d * qy - b * qx) / safe_det
+    px_full = (-b * qy + a * qx) / safe_det
+    # Rank-1 branch: R = lambda u u^T with lambda = trace; pinv = R/lambda^2.
+    inv_tr2 = divide_no_nan(1.0, scale * scale)
+    py_r1 = (a * qy + b * qx) * inv_tr2
+    px_r1 = (b * qy + d * qx) * inv_tr2
+    py = jnp.where(ok, py_full, py_r1)
+    px = jnp.where(ok, px_full, px_r1)
+    return py, px
+
+
+def ls_voting(
+    seg,
+    directions,
+    weights,
+    num_points=9,
+    sigmoid_weights=False,
+    filter_estimates=False,
+    output_second_largest_component=False,
+    min_component_size=50,
+):
+    """Weighted least-squares keypoint voting.
+
+    Args:
+      seg:        [b, h, w, 1+oc] segmentation logits (or one-hot GT);
+                  stop-gradiented and hard-argmaxed, as in the reference.
+      directions: [b, h, w, num_points*2] predicted (dy, dx) fields.
+      weights:    [b, h, w, num_points] raw confidences.
+      sigmoid_weights: sigmoid instead of softplus confidence transform.
+      filter_estimates: keep only the largest connected component >=
+        ``min_component_size`` px of each class mask (inference-time filter).
+    Returns:
+      [b, oc, num_points, 2] voted keypoints in (y, x) pixels (scaled by
+      image height on both axes — reference convention).
+    """
+    b, h, w_img, c = seg.shape
+    oc = c - 1
+    k = num_points
+    dtype = directions.dtype
+
+    if sigmoid_weights:
+        wgt = jnp.reciprocal(1.0 + jnp.exp(-weights))
+    else:
+        wgt = jnp.logaddexp(weights, 0.0)  # softplus
+
+    seg = lax.stop_gradient(seg)
+    labels = jnp.argmax(seg, axis=-1)  # [b,h,w]
+    hot = (labels[..., None] == (jnp.arange(oc, dtype=jnp.int32) + 1)[None, None, None]).astype(dtype)
+
+    if filter_estimates:
+        flat = (hot > 0.5).transpose(0, 3, 1, 2).reshape(b * oc, h, w_img)
+        comp = largest_component_mask(
+            flat, min_size=min_component_size, second_largest=output_second_largest_component
+        )
+        hot = hot * comp.reshape(b, oc, h, w_img).transpose(0, 2, 3, 1).astype(dtype)
+
+    n = directions.reshape(b, h, w_img, k, 2)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = divide_no_nan(n, norm)
+    ny, nx = n[..., 0], n[..., 1]  # [b,h,w,k]
+
+    a = 1.0 - ny * ny
+    bb = -ny * nx
+    d = 1.0 - nx * nx
+
+    cy = ((jnp.arange(h, dtype=dtype) + 0.5) / h)[None, :, None, None]
+    cx = ((jnp.arange(w_img, dtype=dtype) + 0.5) / h)[None, None, :, None]
+    qy = a * cy + bb * cx
+    qx = bb * cy + d * cx
+
+    ones = jnp.ones_like(a)
+    feats = jnp.stack([a, bb, d, qy, qx, ones], axis=-1) * wgt[..., None]  # [b,h,w,k,6]
+    # The voting reduction: one [oc, P] x [P, k*6] matmul per batch element.
+    # Full f32 precision — the bf16 default would wash out a ~300k-term sum.
+    S = jnp.einsum(
+        "bhwo,bhwkf->bokf",
+        hot,
+        feats,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+    mass = jnp.maximum(S[..., 5], 1e-20)
+    Sa, Sb, Sd = S[..., 0] / mass, S[..., 1] / mass, S[..., 2] / mass
+    Sqy, Sqx = S[..., 3] / mass, S[..., 4] / mass
+    py, px = _pinv_2x2_solve(Sa, Sb, Sd, Sqy, Sqx)
+    pts = jnp.stack([py, px], axis=-1).astype(jnp.float32)  # [b,oc,k,2]
+    return pts * jnp.float32(h)

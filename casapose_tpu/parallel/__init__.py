@@ -1,0 +1,3 @@
+from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+__all__ = ["make_mesh", "shard_batch", "shard_params"]

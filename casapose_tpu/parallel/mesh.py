@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers (the distributed backend).
+
+The reference's only parallelism is single-host data parallelism via
+``tf.distribute.MirroredStrategy`` with NCCL all-reduce and
+SyncBatchNormalization (train_casapose.py:195; SURVEY §2.9/§5.8). The
+TPU-native equivalent is declarative: build a ``jax.sharding.Mesh`` with a
+``data`` axis (plus a ``model`` axis reserved for future tensor sharding),
+annotate the batch as sharded over ``data`` and the params as replicated,
+and jit the train step — XLA inserts the ICI collectives:
+
+  * gradient mean  <- psum from the sharded-batch loss reduction
+    (replaces NCCL all-reduce on mirrored variables);
+  * cross-replica BatchNorm moments <- global-batch mean/var reductions
+    (replaces SyncBatchNormalization);
+  * metric sums    <- the same global reductions (replaces
+    ``strategy.reduce(MEAN/SUM)``).
+
+Multi-slice scaling over DCN only changes mesh construction (device order),
+not the step function.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the ``data`` axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with batch-dim sharding over ``data``."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.dtype.kind in ("U", "S", "O"):  # strings stay host-side
+            return x
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_params(mesh: Mesh, params):
+    """Replicate a parameter pytree across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)

@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-device sharding logic is exercised without TPU hardware via
+``xla_force_host_platform_device_count`` (SURVEY.md §4); numerical kernels
+are validated on CPU and are platform-agnostic by construction.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The environment's experimental TPU plugin ignores JAX_PLATFORMS; the
+# config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
