@@ -37,9 +37,11 @@ def main():
     h, w = 480, 640
     model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=seg_dim)
 
+    from functools import partial
+
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(BATCH, h, w, 3)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), img[:1])
     keypoints3d = jnp.asarray(rng.uniform(-0.05, 0.05, (BATCH, no_objects, 1, k, 3)).astype(np.float32))
     camera = jnp.asarray(
         np.tile(np.array([[572.4, 0, 325.3], [0, 573.5, 242.0], [0, 0, 1]], np.float32), (BATCH, 1, 1))

@@ -75,12 +75,34 @@ def connected_components_labels(fg, max_sweeps=64):
     return labels
 
 
+def _run_lengths_sorted(s):
+    """Run start/length for each position of a sorted row ``s`` [P].
+
+    Sort + two segmented scans replace the histogram scatter (TPU scatters
+    with colliding indices serialize; sorts and scans are vectorized).
+    """
+    p = s.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    new_run = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+
+    def combine(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, va)
+
+    _, start = lax.associative_scan(combine, (new_run, idx))
+    run_end_flag = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+    _, end = lax.associative_scan(combine, (run_end_flag, idx), reverse=True)
+    return start, end - start + 1
+
+
 def largest_component_mask(fg, min_size=50, second_largest=False):
     """Keep only the largest (or second-largest) component of each mask.
 
     Mirrors the reference's bincount + top-k filter
     (voting_layers_2d.py:58-79): components smaller than ``min_size`` pixels
-    are discarded entirely.
+    are discarded entirely. Component sizes come from a sorted-run-length
+    computation rather than a scatter histogram (see _run_lengths_sorted).
 
     Args:
       fg: [M, h, w] boolean masks.
@@ -91,18 +113,20 @@ def largest_component_mask(fg, min_size=50, second_largest=False):
     labels = connected_components_labels(fg)
     flat = labels.reshape(m, h * w)
 
-    def sizes_for(row):
-        return jnp.zeros(h * w + 1, jnp.int32).at[row].add(1)
+    def best_label_for(row):
+        s = jnp.sort(row)
+        _, run_len = _run_lengths_sorted(s)
+        valid = (s > 0) & (run_len >= min_size)
+        score = jnp.where(valid, run_len, 0)
+        best = s[jnp.argmax(score)]
+        best_ok = jnp.max(score) > 0
+        if second_largest:
+            score2 = jnp.where(valid & (s != best), run_len, 0)
+            best2 = s[jnp.argmax(score2)]
+            best2_ok = jnp.max(score2) > 0
+            return jnp.where(best2_ok, best2, -1)
+        return jnp.where(best_ok, best, -1)
 
-    counts = jax.vmap(sizes_for)(flat)  # [M, h*w+1]
-    counts = counts.at[:, 0].set(0)  # background label
-    counts = jnp.where(counts < min_size, 0, counts)
-    if second_largest:
-        # Zero out the largest component's count, then take the max again.
-        largest = jnp.max(counts, axis=1, keepdims=True)
-        arg_largest = jnp.argmax(counts, axis=1)
-        counts = jax.vmap(lambda c, i: c.at[i].set(0))(counts, arg_largest)
-    target = jnp.max(counts, axis=1)  # [M]
-    per_pixel = jnp.take_along_axis(counts, flat, axis=1).reshape(m, h, w)
-    keep = fg & (per_pixel == target[:, None, None]) & (target[:, None, None] > 0)
+    target = jax.vmap(best_label_for)(flat)  # [M]
+    keep = fg & (labels == target[:, None, None]) & (target[:, None, None] > 0)
     return keep.astype(jnp.float32)

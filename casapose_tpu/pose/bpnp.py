@@ -44,8 +44,14 @@ def _ift_vjp_single(g_out, p6d, pts2d, pts3d, K):
     J_fx = jax.jacfwd(_f, argnums=1)(p6d, pts2d, pts3d, K)  # [6,N,2]
     J_fz = jax.jacfwd(_f, argnums=2)(p6d, pts2d, pts3d, K)  # [6,N,3]
     J_fK = jax.jacfwd(_f, argnums=3)(p6d, pts2d, pts3d, K)  # [6,3,3]
-    inv = jnp.linalg.pinv(J_fy)  # pinv for robustness, as in the reference
-    w = -(g_out @ inv)  # [6]
+    # J_fy is the (symmetric) Hessian of the reprojection objective at the
+    # optimum; a damped Cholesky solve replaces the reference's pinv (TPU
+    # SVD-based pinv lowers to slow while_loops).
+    from casapose_tpu.pose.epnp import _cholesky_solve_spd
+
+    H = 0.5 * (J_fy + J_fy.T)
+    H = H + (1e-6 * jnp.trace(H) + 1e-20) * jnp.eye(6, dtype=H.dtype)
+    w = -_cholesky_solve_spd(H, g_out)  # [6]
     d_x = jnp.einsum("i,inm->nm", w, J_fx)
     d_z = jnp.einsum("i,inm->nm", w, J_fz)
     d_K = jnp.einsum("i,inm->nm", w, J_fK)

@@ -85,7 +85,11 @@ def init_model(model, imagesize, train_vectors_with_ground_truth, seed=0):
     h, w = imagesize
     img = jnp.zeros((1, h, w, 3), jnp.float32)
     gt = jnp.zeros((1, h, w, model.seg_dim), jnp.float32) if train_vectors_with_ground_truth else None
-    variables = model.init(jax.random.PRNGKey(seed), img, gt, train=False)
+    # jit the init: eager op-by-op initialization dispatches hundreds of tiny
+    # kernels (minutes over a remote TPU tunnel); one compiled program is
+    # seconds.
+    init_fn = jax.jit(partial(model.init, train=False))
+    variables = init_fn(jax.random.PRNGKey(seed), img, gt)
     return variables
 
 
@@ -337,6 +341,13 @@ def run_training(opt):
         seed=opt.manualseed,
     )
     print(f"training data: {train_batches} batches")
+
+    if opt.save_debug_batch:
+        from casapose_tpu.utils.visualization import save_batches
+
+        save_batches(trainingdata, os.path.join(opt.outf, "visual_batch"))
+        print("saved debug batch; exiting (save_debug_batch)")
+        return None
 
     testingdata, test_batches, test_dataset = None, 0, None
     if opt.datatest:
