@@ -2,9 +2,14 @@
 """Headline benchmark: images/sec/chip, 640x480 LMO 8-object inference.
 
 Runs the full flagship inference pipeline (casapose_c_gcu5 forward ->
-connected-component-filtered LS voting -> on-device EPnP+GN pose solve) on
+connected-component-filtered LS voting -> on-device EPnP+LM pose solve) on
 synthetic 480x640 inputs (throughput is weight/data independent) and prints
 ONE JSON line.
+
+Timing methodology: the axon TPU tunnel reports `block_until_ready`
+optimistically and charges ~30 ms for any host synchronization, so
+throughput is measured PIPELINED — many dispatches in flight, one host
+fetch at the end — which is also how a serving deployment feeds a chip.
 
 ``vs_baseline`` is measured against A100_BASELINE_IMAGES_PER_SEC: the
 reference repo publishes no speed numbers (BASELINE.md), so we use the
@@ -15,17 +20,23 @@ mark. Replace with a measured value when a reference run is available.
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 A100_BASELINE_IMAGES_PER_SEC = 30.0
 BATCH = 4
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 30
 
 
 def main():
     import jax
+
+    # Persistent compilation cache: the first compile of the fused step is
+    # minutes over the TPU tunnel; later runs reuse the compiled binary.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from casapose_tpu.models.registry import get_model
@@ -37,11 +48,11 @@ def main():
     h, w = 480, 640
     model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=seg_dim)
 
-    from functools import partial
-
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(BATCH, h, w, 3)).astype(np.float32))
-    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), img[:1])
+    imgs = [
+        jnp.asarray(rng.normal(size=(BATCH, h, w, 3)).astype(np.float32)) for _ in range(4)
+    ]
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), imgs[0][:1])
     keypoints3d = jnp.asarray(rng.uniform(-0.05, 0.05, (BATCH, no_objects, 1, k, 3)).astype(np.float32))
     camera = jnp.asarray(
         np.tile(np.array([[572.4, 0, 325.3], [0, 573.5, 242.0], [0, 0, 1]], np.float32), (BATCH, 1, 1))
@@ -56,13 +67,25 @@ def main():
         coords = ls_voting(seg, dirs, conf, num_points=k, filter_estimates=True)
         return poses_pnp(coords, seg, keypoints3d, camera, no_objects)
 
-    for _ in range(WARMUP):
-        step(variables, img).block_until_ready()
+    def run_pipelined(n):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(n):
+            outs.append(step(variables, imgs[i % len(imgs)]))
+        # True host synchronization: fetch a small slice of the last result.
+        np.asarray(outs[-1][0, 0, 0])
+        for o in outs:
+            o.block_until_ready()
+        return time.perf_counter() - t0
+
+    run_pipelined(WARMUP)
+    dt = run_pipelined(ITERS)
+    images_per_sec = BATCH * ITERS / dt
+
+    # Per-image latency (single dispatch + host fetch).
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        step(variables, img).block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    images_per_sec = BATCH / dt
+    np.asarray(step(variables, imgs[0])[0, 0, 0])
+    latency_ms = (time.perf_counter() - t0) * 1000.0 / BATCH
 
     print(
         json.dumps(
@@ -71,6 +94,7 @@ def main():
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / A100_BASELINE_IMAGES_PER_SEC, 3),
+                "latency_ms_per_image": round(latency_ms, 2),
             }
         )
     )

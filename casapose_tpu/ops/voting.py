@@ -29,6 +29,37 @@ from casapose_tpu.core.numerics import divide_no_nan
 from casapose_tpu.ops.connected_components import largest_component_mask
 
 
+def instance_filter_mask(hot_bool, min_component_size=50, second_largest=False, downsample=4):
+    """Largest-connected-component filter for per-class masks.
+
+    Args:
+      hot_bool: [b, h, w, oc] boolean per-class foreground.
+    Returns: [b, h, w, oc] float32 keep-mask.
+
+    The labeling runs at 1/``downsample`` resolution (OR-pooled): the filter
+    only needs to find the largest blob and drop sub-``min_component_size``
+    noise, which survives 4x coarsening (a 50 px blob is ~4 coarse px),
+    while the flood scans get 16x cheaper and compile minutes faster.
+    Set ``downsample=1`` for exact full-resolution semantics.
+    """
+    b, h, w, oc = hot_bool.shape
+    flat = hot_bool.transpose(0, 3, 1, 2).reshape(b * oc, h, w)
+    if downsample > 1:
+        hs, ws = h // downsample, w // downsample
+        small = flat[:, : hs * downsample, : ws * downsample]
+        small = small.reshape(b * oc, hs, downsample, ws, downsample).any(axis=(2, 4))
+        min_small = max(1, min_component_size // (downsample * downsample))
+        comp_small = largest_component_mask(small, min_size=min_small, second_largest=second_largest)
+        comp = jnp.repeat(jnp.repeat(comp_small, downsample, axis=1), downsample, axis=2)
+        pad_h, pad_w = h - hs * downsample, w - ws * downsample
+        if pad_h or pad_w:
+            comp = jnp.pad(comp, ((0, 0), (0, pad_h), (0, pad_w)))
+        comp = comp * flat.astype(comp.dtype)
+    else:
+        comp = largest_component_mask(flat, min_size=min_component_size, second_largest=second_largest)
+    return comp.reshape(b, oc, h, w).transpose(0, 2, 3, 1)
+
+
 def _pinv_2x2_solve(a, b, d, qy, qx):
     """Solve [[a,b],[b,d]] p = [qy,qx] with pseudo-inverse fallback.
 
@@ -91,11 +122,9 @@ def ls_voting(
     hot = (labels[..., None] == (jnp.arange(oc, dtype=jnp.int32) + 1)[None, None, None]).astype(dtype)
 
     if filter_estimates:
-        flat = (hot > 0.5).transpose(0, 3, 1, 2).reshape(b * oc, h, w_img)
-        comp = largest_component_mask(
-            flat, min_size=min_component_size, second_largest=output_second_largest_component
-        )
-        hot = hot * comp.reshape(b, oc, h, w_img).transpose(0, 2, 3, 1).astype(dtype)
+        hot = hot * instance_filter_mask(
+            hot > 0.5, min_component_size, output_second_largest_component
+        ).astype(dtype)
 
     n = directions.reshape(b, h, w_img, k, 2)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)

@@ -108,58 +108,84 @@ def _cholesky_solve_spd(A, b):
     return jnp.stack(x, axis=-1)
 
 
-def _psd_inverse_newton_schulz(A, iters=24):
-    """Approximate inverse of symmetric PD matrices by Newton-Schulz.
+def _chol_factor(A):
+    """Unrolled batched Cholesky factor of [B, n, n] SPD (n static, small).
 
-    X_{k+1} = X_k (2 I - A X_k), X_0 = A / (||A||_1 ||A||_inf): quadratic
-    convergence, pure matmuls, no LU/QR while_loops.
+    Returns the lower factor as a Python grid of [B] entries — pure
+    elementwise ops that XLA fuses; no LU/QR while_loops.
     """
     n = A.shape[-1]
-    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)[:, None, None]
-    norminf = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)[:, None, None]
-    X = A / jnp.maximum(norm1 * norminf, 1e-30)
-    eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)[None]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[:, i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
 
-    def body(_, X):
-        return X @ (eye2 - A @ X)
 
-    return jax.lax.fori_loop(0, iters, body, X, unroll=4)
+def _chol_solve_list(L, b):
+    """Solve L L^T x = b given a factor grid; b = list of n [B] entries."""
+    n = len(b)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
 
 
 def _smallest_eigvecs2(A, iters=6):
     """Two smallest eigenpairs of symmetric PSD [B, 12, 12] matrices.
 
-    Inverse subspace iteration: regularize (same eigenvectors), invert with
-    Newton-Schulz, and power-iterate the inverse — the spectral gap
-    1/lambda_1 vs 1/lambda_2 is huge for near-singular EPnP normal matrices,
-    so a handful of iterations converge. A closed-form 2x2 Rayleigh-Ritz
-    rotation finishes. Fixed iteration counts everywhere — unlike
-    jnp.linalg.eigh's QR while_loop (minutes of TPU compile time).
+    Inverse subspace iteration with a single unrolled Cholesky
+    factorization: factor (A + eps I) once, then repeatedly solve — the
+    spectral gap 1/lambda_1 vs 1/lambda_2 is huge for near-singular EPnP
+    normal matrices, so a handful of iterations converge; a closed-form
+    2x2 Rayleigh-Ritz rotation finishes. Backward-stable in float32 on
+    TPU (a Newton-Schulz approximate inverse was not), and everything is
+    fixed-iteration elementwise math — no QR/LU while_loops (jnp.linalg
+    .eigh costs minutes of TPU compile time and is inaccurate here).
     """
     b, n, _ = A.shape
     dtype = A.dtype
     trace = jnp.trace(A, axis1=1, axis2=2)[:, None, None]
-    An = A + (1e-5 * trace + 1e-30) * jnp.eye(n, dtype=dtype)[None]
-    Ainv = _psd_inverse_newton_schulz(An, iters=20)
+    An = A + (1e-6 * trace + 1e-30) * jnp.eye(n, dtype=dtype)[None]
+    L = _chol_factor(An)
 
-    v0 = jnp.tile(jnp.stack([jnp.linspace(1.0, 2.0, n), jnp.linspace(2.0, -1.0, n)], axis=1)[None], (b, 1, 1))
+    v1 = [jnp.full((b,), 1.0 + 0.1 * i, dtype) for i in range(n)]
+    v2 = [jnp.full((b,), 2.0 - 0.2 * i, dtype) for i in range(n)]
+    for _ in range(iters):
+        v1 = _chol_solve_list(L, v1)
+        v2 = _chol_solve_list(L, v2)
+        n1 = jnp.sqrt(jnp.maximum(sum(v * v for v in v1), 1e-30))
+        v1 = [v / n1 for v in v1]
+        d = sum(a_ * b_ for a_, b_ in zip(v1, v2))
+        v2 = [b_ - d * a_ for a_, b_ in zip(v1, v2)]
+        n2 = jnp.sqrt(jnp.maximum(sum(v * v for v in v2), 1e-30))
+        v2 = [v / n2 for v in v2]
 
-    def body(_, V):
-        V = Ainv @ V
-        v1 = V[..., 0]
-        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
-        v2 = V[..., 1]
-        v2 = v2 - jnp.sum(v1 * v2, axis=-1, keepdims=True) * v1
-        v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
-        return jnp.stack([v1, v2], axis=-1)
-
-    V = jax.lax.fori_loop(0, iters, body, v0.astype(dtype), unroll=3)
+    V1 = jnp.stack(v1, -1)
+    V2 = jnp.stack(v2, -1)
     # Rayleigh-Ritz on the 2D subspace: rotate to diagonalize V^T A V.
-    T = jnp.swapaxes(V, 1, 2) @ (A @ V)  # [B,2,2]
-    theta = 0.5 * jnp.arctan2(2.0 * T[:, 0, 1], T[:, 0, 0] - T[:, 1, 1] + 1e-30)
+    T11 = jnp.einsum("bi,bij,bj->b", V1, A, V1)
+    T22 = jnp.einsum("bi,bij,bj->b", V2, A, V2)
+    T12 = jnp.einsum("bi,bij,bj->b", V1, A, V2)
+    theta = 0.5 * jnp.arctan2(2.0 * T12, T11 - T22 + 1e-30)
     c, s = jnp.cos(theta), jnp.sin(theta)
-    r1 = c[:, None] * V[..., 0] + s[:, None] * V[..., 1]
-    r2 = -s[:, None] * V[..., 0] + c[:, None] * V[..., 1]
+    r1 = c[:, None] * V1 + s[:, None] * V2
+    r2 = -s[:, None] * V1 + c[:, None] * V2
     e1 = jnp.einsum("bi,bij,bj->b", r1, A, r1)
     e2 = jnp.einsum("bi,bij,bj->b", r2, A, r2)
     first_smaller = (e1 <= e2)[:, None]
@@ -431,18 +457,34 @@ def solve_pnp(pts2d, pts3d, K, iterations=10):
 
     # LM-refine from both EPnP beta cases in ONE doubled batch (sequential
     # LM trips are the latency driver; batching candidates is free).
-    p0 = jnp.concatenate([to_p6d(R1, t1), to_p6d(R2, t2)], axis=0)  # [2B, 6]
     pts2d_2 = jnp.concatenate([safe_pts2d, safe_pts2d], axis=0)
     pts3d_2 = jnp.concatenate([pts3d, pts3d], axis=0)
-    refined = _refine(p0, pts2d_2, pts3d_2, K, iterations)
-    pa, pb = refined[:b], refined[b:]
 
-    def final_err(p):
-        r = jax.vmap(_residuals, in_axes=(0, 0, None))(p, pts3d, K) - safe_pts2d
-        return jnp.sum(jnp.square(r), axis=(1, 2))
+    if jax.default_backend() not in ("cpu",):
+        # Fused Pallas kernel: the whole LM loop is ONE kernel launch (the
+        # XLA path issues thousands of tiny kernels; see ops/pnp_kernel.py).
+        from casapose_tpu.ops.pnp_kernel import lm_refine_pallas
 
-    use_a = (final_err(pa) <= final_err(pb))[:, None]
-    p6d = jnp.where(use_a, pa, pb)
+        R0c = jnp.concatenate([R1, R2], axis=0)
+        t0c = jnp.concatenate([t1, t2], axis=0)
+        R0c = jnp.where(jnp.isfinite(R0c), R0c, jnp.eye(3, dtype=dtype)[None])
+        t0c = jnp.where(jnp.isfinite(t0c), t0c, jnp.asarray([0.0, 0.0, 1.0], dtype))
+        Rr, tr, errs = lm_refine_pallas(R0c, t0c, pts2d_2, pts3d_2, K, iterations=iterations)
+        use_a = (errs[:b] <= errs[b:])[:, None]
+        R_fin = jnp.where(use_a[..., None], Rr[:b], Rr[b:])
+        t_fin = jnp.where(use_a, tr[:b], tr[b:])
+        p6d = jnp.concatenate([rotation_to_rvec(R_fin), t_fin], axis=1)
+    else:
+        p0 = jnp.concatenate([to_p6d(R1, t1), to_p6d(R2, t2)], axis=0)  # [2B, 6]
+        refined = _refine(p0, pts2d_2, pts3d_2, K, iterations)
+        pa, pb = refined[:b], refined[b:]
+
+        def final_err(p):
+            r = jax.vmap(_residuals, in_axes=(0, 0, None))(p, pts3d, K) - safe_pts2d
+            return jnp.sum(jnp.square(r), axis=(1, 2))
+
+        use_a = (final_err(pa) <= final_err(pb))[:, None]
+        p6d = jnp.where(use_a, pa, pb)
     p6d = jnp.where(jnp.isfinite(p6d), p6d, 0.0)
     return jnp.where(degenerate[:, None], placeholder, p6d)
 
