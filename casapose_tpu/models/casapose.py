@@ -82,12 +82,15 @@ class CASAPoseModel(nn.Module):
     s2dim: int = 32
     raw_dim: int = 32
     output_labelmap: bool = False
+    dtype: Optional[jnp.dtype] = None  # computation dtype; params stay f32
 
     @nn.compact
     def __call__(self, img, gt_seg=None, train: bool = False):
         spec = self.spec
         ura = not train
-        feats = ResNetBackbone(self.base_model, name="backbone")(img, train=train)
+        if self.dtype is not None:
+            img = img.astype(self.dtype)
+        feats = ResNetBackbone(self.base_model, dtype=self.dtype, name="backbone")(img, train=train)
         x2s, x4s, x8s, _, x32s = feats
         backbone_features = [x32s, x8s, x4s, x2s, img]
         layer_dims = [self.fcdim, self.s8dim, self.s4dim, self.s2dim, self.raw_dim]
@@ -117,8 +120,9 @@ class CASAPoseModel(nn.Module):
                     use_bias=False,
                     kernel_init=_CONV_INIT,
                     name=f"pv_block_{n}_conv2d",
+                    dtype=self.dtype,
                 )(inp)
-            h = batch_norm(f"pv_block_{n}_bn")(h, use_running_average=ura)
+            h = batch_norm(f"pv_block_{n}_bn", dtype=self.dtype)(h, use_running_average=ura)
             h = nn.leaky_relu(h, negative_slope=0.1) if i > 0 else nn.relu(h)
             if 0 < i < 4:
                 b, hh, ww, cc = h.shape
@@ -126,8 +130,9 @@ class CASAPoseModel(nn.Module):
             x = h
 
         seg_logits = nn.Conv(
-            self.seg_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv_segmentation"
-        )(x)
+            self.seg_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv_segmentation",
+            dtype=self.dtype,
+        )(x).astype(jnp.float32)
 
         # Hard one-hot mask (softmax(x*1e6) + stop_gradient in the ref).
         mask_src = gt_seg if gt_seg is not None else seg_logits
@@ -175,14 +180,15 @@ class CASAPoseModel(nn.Module):
                     use_bias=False,
                     kernel_init=_CONV_INIT,
                     name=f"pv_block_{n}_conv2d",
+                    dtype=self.dtype,
                 )(inp)
 
             if mask is not None:
-                h = ClassAdaptiveWeightedNorm(self.seg_dim, name=f"pv_block_{n}_clade")(
+                h = ClassAdaptiveWeightedNorm(self.seg_dim, dtype=self.dtype, name=f"pv_block_{n}_clade")(
                     h, mask, use_running_average=ura
                 )
             else:
-                h = batch_norm(f"pv_block_{n}_bn")(h, use_running_average=ura)
+                h = batch_norm(f"pv_block_{n}_bn", dtype=self.dtype)(h, use_running_average=ura)
 
             h = nn.leaky_relu(h, negative_slope=0.1) if i > 0 else nn.relu(h)
 
@@ -201,8 +207,9 @@ class CASAPoseModel(nn.Module):
             y = h
 
         vertex = nn.Conv(
-            self.ver_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv_vertex"
-        )(y)
+            self.ver_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv_vertex",
+            dtype=self.dtype,
+        )(y).astype(jnp.float32)
         return self._assemble(seg_logits, vertex, x_mask)
 
     def _assemble(self, seg_logits, vertex, x_mask):
@@ -225,11 +232,14 @@ class PVNetModel(nn.Module):
     s2dim: int = 32
     raw_dim: int = 32
     output_labelmap: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, img, gt_seg=None, train: bool = False):
         ura = not train
-        feats = ResNetBackbone(self.base_model, name="backbone")(img, train=train)
+        if self.dtype is not None:
+            img = img.astype(self.dtype)
+        feats = ResNetBackbone(self.base_model, dtype=self.dtype, name="backbone")(img, train=train)
         x2s, x4s, x8s, _, x32s = feats
         backbone_features = [x32s, x8s, x4s, x2s, img]
         layer_dims = [self.fcdim, self.s8dim, self.s4dim, self.s2dim, self.raw_dim]
@@ -244,16 +254,18 @@ class PVNetModel(nn.Module):
                 use_bias=False,
                 kernel_init=_CONV_INIT,
                 name=f"pv_block_{n}_conv2d",
+                dtype=self.dtype,
             )(inp)
-            h = batch_norm(f"pv_block_{n}_bn")(h, use_running_average=ura)
+            h = batch_norm(f"pv_block_{n}_bn", dtype=self.dtype)(h, use_running_average=ura)
             h = nn.leaky_relu(h, negative_slope=0.1) if i > 0 else nn.relu(h)
             if 0 < i < 4:
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="bilinear")
             x = h
         out = nn.Conv(
-            self.seg_dim + self.ver_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv"
-        )(x)
+            self.seg_dim + self.ver_dim, (1, 1), use_bias=False, kernel_init=_CONV_INIT, name="pv_final_conv",
+            dtype=self.dtype,
+        )(x).astype(jnp.float32)
         if self.output_labelmap:
             seg = out[..., : self.seg_dim]
             ver = out[..., self.seg_dim :]

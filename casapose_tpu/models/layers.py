@@ -35,8 +35,12 @@ BN_MOMENTUM = 0.99
 _OFFSETS_3X3 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 
-def batch_norm(name, center=True, scale=True):
-    """BatchNorm with the reference's hyperparameters (eps 2e-5, mom 0.99)."""
+def batch_norm(name, center=True, scale=True, dtype=None):
+    """BatchNorm with the reference's hyperparameters (eps 2e-5, mom 0.99).
+
+    ``dtype`` is the computation dtype (bf16 for the mixed-precision
+    policy); parameters and running statistics stay float32.
+    """
     return nn.BatchNorm(
         name=name,
         use_running_average=None,  # controlled by `use_running_average` call arg
@@ -44,6 +48,7 @@ def batch_norm(name, center=True, scale=True):
         epsilon=BN_EPS,
         use_bias=center,
         use_scale=scale,
+        dtype=dtype,
     )
 
 
@@ -76,15 +81,18 @@ class ClassAdaptiveWeightedNorm(nn.Module):
     """CLADE: parameter-free BN, then per-class gamma/beta selected per pixel."""
 
     num_classes: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, seg_onehot, use_running_average: bool):
         ch = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (self.num_classes, ch))
         beta = self.param("beta", nn.initializers.zeros, (self.num_classes, ch))
-        gamma1 = seg_onehot @ gamma.astype(x.dtype)  # [b,h,w,ch]
-        beta1 = seg_onehot @ beta.astype(x.dtype)
-        x = batch_norm("bn", center=False, scale=False)(x, use_running_average=use_running_average)
+        gamma1 = seg_onehot.astype(x.dtype) @ gamma.astype(x.dtype)  # [b,h,w,ch]
+        beta1 = seg_onehot.astype(x.dtype) @ beta.astype(x.dtype)
+        x = batch_norm("bn", center=False, scale=False, dtype=self.dtype)(
+            x, use_running_average=use_running_average
+        )
         return gamma1 * x + beta1
 
 

@@ -14,7 +14,7 @@ BatchNorm layers become cross-replica automatically under GSPMD data
 parallelism (global-batch reductions); see models/layers.py.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ RESNET_PARAMS = {
 }
 
 
-def _conv(features, kernel, strides, dilation, name, padding):
+def _conv(features, kernel, strides, dilation, name, padding, dtype=None):
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -42,6 +42,7 @@ def _conv(features, kernel, strides, dilation, name, padding):
         use_bias=False,
         kernel_init=_CONV_INIT,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -49,6 +50,7 @@ class ResNetBackbone(nn.Module):
     """Pre-activation ResNet; `model_name` selects depth/block type."""
 
     model_name: str = "resnet18"
+    dtype: Any = None  # computation dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,10 +58,12 @@ class ResNetBackbone(nn.Module):
         ura = not train  # use_running_average
         init_filters = 64
         output = []
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        x = batch_norm("bn_data", scale=False)(x, use_running_average=ura)
-        x = _conv(init_filters, 7, 2, 1, "conv0", [(3, 3), (3, 3)])(x)
-        x = batch_norm("bn0")(x, use_running_average=ura)
+        x = batch_norm("bn_data", scale=False, dtype=self.dtype)(x, use_running_average=ura)
+        x = _conv(init_filters, 7, 2, 1, "conv0", [(3, 3), (3, 3)], self.dtype)(x)
+        x = batch_norm("bn0", dtype=self.dtype)(x, use_running_average=ura)
         x2 = nn.relu(x)
         output.append(x2)  # x2s
         x = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -84,7 +88,7 @@ class ResNetBackbone(nn.Module):
                 else:
                     x, _ = self._block(x, filters, stage, block, 1, dilation, "pre", bottleneck, ura)
 
-        x = batch_norm("bn1")(x, use_running_average=ura)
+        x = batch_norm("bn1", dtype=self.dtype)(x, use_running_average=ura)
         output.append(nn.relu(x))
         return output  # [x2s, x4s, x8s, x16s, x32s]
 
@@ -92,27 +96,27 @@ class ResNetBackbone(nn.Module):
         base = f"stage{stage + 1}_unit{block + 1}_"
         pad = dilation  # == ((3-1)*(d-1)+3 - 1) / 2 for a 3x3 kernel
 
-        h = batch_norm(base + "bn1")(x, use_running_average=ura)
+        h = batch_norm(base + "bn1", dtype=self.dtype)(x, use_running_average=ura)
         x2 = nn.relu(h)
 
         if cut == "pre":
             shortcut = x
         else:
             sc_features = filters * (4 if bottleneck else 1)
-            shortcut = _conv(sc_features, 1, stride, 1, base + "sc", "VALID")(x2)
+            shortcut = _conv(sc_features, 1, stride, 1, base + "sc", "VALID", self.dtype)(x2)
 
         if bottleneck:
-            h = _conv(filters, 1, 1, 1, base + "conv1", "VALID")(x2)
-            h = batch_norm(base + "bn2")(h, use_running_average=ura)
+            h = _conv(filters, 1, 1, 1, base + "conv1", "VALID", self.dtype)(x2)
+            h = batch_norm(base + "bn2", dtype=self.dtype)(h, use_running_average=ura)
             h = nn.relu(h)
-            h = _conv(filters, 3, stride, dilation, base + "conv2", [(pad, pad), (pad, pad)])(h)
-            h = batch_norm(base + "bn3")(h, use_running_average=ura)
+            h = _conv(filters, 3, stride, dilation, base + "conv2", [(pad, pad), (pad, pad)], self.dtype)(h)
+            h = batch_norm(base + "bn3", dtype=self.dtype)(h, use_running_average=ura)
             h = nn.relu(h)
-            h = _conv(filters * 4, 1, 1, 1, base + "conv3", "VALID")(h)
+            h = _conv(filters * 4, 1, 1, 1, base + "conv3", "VALID", self.dtype)(h)
         else:
-            h = _conv(filters, 3, stride, dilation, base + "conv1", [(pad, pad), (pad, pad)])(x2)
-            h = batch_norm(base + "bn2")(h, use_running_average=ura)
+            h = _conv(filters, 3, stride, dilation, base + "conv1", [(pad, pad), (pad, pad)], self.dtype)(x2)
+            h = batch_norm(base + "bn2", dtype=self.dtype)(h, use_running_average=ura)
             h = nn.relu(h)
-            h = _conv(filters, 3, 1, dilation, base + "conv2", [(pad, pad), (pad, pad)])(h)
+            h = _conv(filters, 3, 1, dilation, base + "conv2", [(pad, pad), (pad, pad)], self.dtype)(h)
 
         return h + shortcut, x2

@@ -26,12 +26,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+    batch_size: Optional[int] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With ``batch_size`` given, the data axis is clamped to the largest
+    device count that divides the batch (a batch of 2 cannot shard over 8
+    devices).
+    """
+    import math
+
     if devices is None:
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if batch_size is not None:
+        n_data = math.gcd(n_data, batch_size)
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
 

@@ -460,7 +460,10 @@ def solve_pnp(pts2d, pts3d, K, iterations=10):
     pts2d_2 = jnp.concatenate([safe_pts2d, safe_pts2d], axis=0)
     pts3d_2 = jnp.concatenate([pts3d, pts3d], axis=0)
 
-    if jax.default_backend() not in ("cpu",):
+    import os
+
+    backend_choice = os.environ.get("CASAPOSE_PNP_REFINE", "pallas")
+    if jax.default_backend() not in ("cpu",) and backend_choice == "pallas":
         # Fused Pallas kernel: the whole LM loop is ONE kernel launch (the
         # XLA path issues thousands of tiny kernels; see ops/pnp_kernel.py).
         from casapose_tpu.ops.pnp_kernel import lm_refine_pallas

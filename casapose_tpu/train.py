@@ -312,7 +312,7 @@ def run_training(opt):
     use_split = opt.data == opt.datatest
     separated = opt.modelname == "pvnet"
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=opt.batchsize)
 
     train_dataset = VectorfieldDataset(
         root=opt.data,
