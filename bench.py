@@ -25,7 +25,7 @@ from functools import partial
 import numpy as np
 
 A100_BASELINE_IMAGES_PER_SEC = 30.0
-BATCH = 4
+BATCH = int(__import__("os").environ.get("CASAPOSE_BENCH_BATCH", "4"))
 WARMUP = 2
 ITERS = 30
 
@@ -46,7 +46,12 @@ def main():
     no_objects, k = 8, 9
     seg_dim = 1 + no_objects
     h, w = 480, 640
-    model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=seg_dim)
+    # bf16 compute dtype for the conv path (params stay f32); the voting /
+    # PnP stages run in f32. Set CASAPOSE_BENCH_DTYPE=float32 to disable.
+    import os
+
+    dtype = None if os.environ.get("CASAPOSE_BENCH_DTYPE") == "float32" else jnp.bfloat16
+    model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=seg_dim, dtype=dtype)
 
     rng = np.random.default_rng(0)
     imgs = [

@@ -447,37 +447,33 @@ def solve_pnp(pts2d, pts3d, K, iterations=10):
     placeholder = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype)
     synth = jax.vmap(_residuals, in_axes=(None, 0, None))(placeholder, pts3d, K)  # [B,N,2]
     safe_pts2d = jnp.where(degenerate[:, None, None], synth, pts2d)
-    (R1, t1), (R2, t2) = epnp_candidates(safe_pts2d, pts3d, K)
-
-    def to_p6d(R, t):
-        p = jnp.concatenate([rotation_to_rvec(R), t], axis=1)
-        tz = p[:, 5:6]
-        p = jnp.concatenate([p[:, :5], jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)], axis=1)
-        return jnp.where(jnp.isfinite(p), p, 0.0)
-
-    # LM-refine from both EPnP beta cases in ONE doubled batch (sequential
-    # LM trips are the latency driver; batching candidates is free).
-    pts2d_2 = jnp.concatenate([safe_pts2d, safe_pts2d], axis=0)
-    pts3d_2 = jnp.concatenate([pts3d, pts3d], axis=0)
 
     import os
 
     backend_choice = os.environ.get("CASAPOSE_PNP_REFINE", "pallas")
     if jax.default_backend() not in ("cpu",) and backend_choice == "pallas":
-        # Fused Pallas kernel: the whole LM loop is ONE kernel launch (the
-        # XLA path issues thousands of tiny kernels; see ops/pnp_kernel.py).
-        from casapose_tpu.ops.pnp_kernel import lm_refine_pallas
+        # Fully-fused Pallas kernel: EPnP init + both-candidate LM refine in
+        # ONE kernel launch (the XLA path issues thousands of tiny kernels;
+        # see ops/pnp_kernel.py).
+        from casapose_tpu.ops.pnp_kernel import solve_pnp_pallas
 
-        R0c = jnp.concatenate([R1, R2], axis=0)
-        t0c = jnp.concatenate([t1, t2], axis=0)
-        R0c = jnp.where(jnp.isfinite(R0c), R0c, jnp.eye(3, dtype=dtype)[None])
-        t0c = jnp.where(jnp.isfinite(t0c), t0c, jnp.asarray([0.0, 0.0, 1.0], dtype))
-        Rr, tr, errs = lm_refine_pallas(R0c, t0c, pts2d_2, pts3d_2, K, iterations=iterations)
-        use_a = (errs[:b] <= errs[b:])[:, None]
-        R_fin = jnp.where(use_a[..., None], Rr[:b], Rr[b:])
-        t_fin = jnp.where(use_a, tr[:b], tr[b:])
+        R_fin, t_fin, _ = solve_pnp_pallas(safe_pts2d, pts3d, K, iterations=iterations)
+        R_fin = jnp.where(jnp.isfinite(R_fin), R_fin, jnp.eye(3, dtype=dtype)[None])
+        t_fin = jnp.where(jnp.isfinite(t_fin), t_fin, jnp.asarray([0.0, 0.0, 1.0], dtype))
         p6d = jnp.concatenate([rotation_to_rvec(R_fin), t_fin], axis=1)
     else:
+        (R1, t1), (R2, t2) = epnp_candidates(safe_pts2d, pts3d, K)
+
+        def to_p6d(R, t):
+            p = jnp.concatenate([rotation_to_rvec(R), t], axis=1)
+            tz = p[:, 5:6]
+            p = jnp.concatenate([p[:, :5], jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)], axis=1)
+            return jnp.where(jnp.isfinite(p), p, 0.0)
+
+        # LM-refine from both EPnP beta cases in ONE doubled batch
+        # (sequential LM trips are the latency driver).
+        pts2d_2 = jnp.concatenate([safe_pts2d, safe_pts2d], axis=0)
+        pts3d_2 = jnp.concatenate([pts3d, pts3d], axis=0)
         p0 = jnp.concatenate([to_p6d(R1, t1), to_p6d(R2, t2)], axis=0)  # [2B, 6]
         refined = _refine(p0, pts2d_2, pts3d_2, K, iterations)
         pa, pb = refined[:b], refined[b:]

@@ -398,6 +398,45 @@ def run_training(opt):
             params, batch_stats = merged["params"], merged["batch_stats"]
             print(f"imported {n} arrays from {fname}.h5")
 
+    # Weight surgery (train_casapose.py:352-447): expand a trained network
+    # to more objects (copy seg-conv columns + CLADE rows per the
+    # objects_to_copy mapping) or add confidence maps to a confidence-less
+    # net (copy the first ver_dim vertex-conv columns).
+    if opt.copy_weights_from_backup_network or opt.copy_weights_add_confidence_maps:
+        from casapose_tpu.core.checkpoint import (
+            apply_expansion_surgery,
+            copy_weights_vertex,
+            import_keras_h5,
+            load_weights_npz,
+        )
+
+        ver_dim = model.ver_dim
+        if opt.copy_weights_add_confidence_maps and opt.estimate_confidence:
+            backup_model = get_model(
+                opt.modelname, ver_dim=ver_dim - opt.no_points, seg_dim=1 + no_objects,
+                base_model=opt.backbonename,
+            )
+        else:
+            backup_model = get_model(
+                opt.modelname, ver_dim=ver_dim, seg_dim=1 + opt.objects_in_input_network,
+                base_model=opt.backbonename,
+            )
+        backup_vars = dict(
+            init_model(backup_model, opt.imagesize, False, seed=opt.manualseed)
+        )
+        fname = os.path.join(frozen_path, opt.load_h5_filename)
+        if os.path.exists(fname + ".npz"):
+            backup_vars, n, _ = load_weights_npz(fname + ".npz", backup_vars)
+        elif os.path.exists(fname + ".h5"):
+            backup_vars, n, _ = import_keras_h5(fname + ".h5", backup_vars)
+        else:
+            raise FileNotFoundError(f"backup network weights not found at {fname}.(npz|h5)")
+        print(f"loaded backup network ({n} arrays)")
+        if opt.copy_weights_add_confidence_maps and opt.estimate_confidence:
+            params = copy_weights_vertex(params, backup_vars["params"], ver_dim - opt.no_points)
+        else:
+            params = apply_expansion_surgery(params, backup_vars["params"], opt.objects_to_copy)
+
     state = TrainState(
         params=params, batch_stats=batch_stats, opt_state=tx.init(params), step=jnp.zeros([], jnp.int32)
     )
