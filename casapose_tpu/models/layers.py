@@ -163,19 +163,36 @@ class PartialConv(nn.Module):
                 x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
             )
 
+        import os
+
         labels = jnp.argmax(seg_onehot, axis=-1)[..., None]  # [b,h,w,1]
-        shifted_feats = []
+        if os.environ.get("CASAPOSE_PARTIAL_CONV", "accumulate") == "stacked":
+            shifted_feats = []
+            count = None
+            for (dy, dx) in _OFFSETS_3X3:
+                lab_s = _shift2d(labels, dy, dx, fill=-1)
+                m = (lab_s == labels).astype(x.dtype)  # [b,h,w,1]
+                x_s = _shift2d(x, dy, dx) * m
+                shifted_feats.append(x_s)
+                count = m if count is None else count + m
+            stacked = jnp.concatenate(shifted_feats, axis=-1)  # [b,h,w,9*ch]
+            # Kernel taps laid out to match the offset enumeration order.
+            w = kernel.reshape(9 * ch, self.features)
+            out = stacked @ w  # one MXU matmul over the whole stencil
+            return out * (9.0 / jnp.maximum(count, 1.0))
+
+        # Accumulate form: 9 masked [P, ch] @ [ch, d] matmuls summed — no
+        # [b, h, w, 9*ch] stencil buffer in HBM (the largest intermediate of
+        # the stacked form at full resolution).
+        out = None
         count = None
-        for (dy, dx) in _OFFSETS_3X3:
+        for idx, (dy, dx) in enumerate(_OFFSETS_3X3):
             lab_s = _shift2d(labels, dy, dx, fill=-1)
-            m = (lab_s == labels).astype(x.dtype)  # [b,h,w,1]
+            m = (lab_s == labels).astype(x.dtype)
             x_s = _shift2d(x, dy, dx) * m
-            shifted_feats.append(x_s)
+            contrib = x_s @ kernel[dy + 1, dx + 1]
+            out = contrib if out is None else out + contrib
             count = m if count is None else count + m
-        stacked = jnp.concatenate(shifted_feats, axis=-1)  # [b,h,w,9*ch]
-        # Kernel taps laid out to match the offset enumeration order.
-        w = kernel.reshape(9 * ch, self.features)
-        out = stacked @ w  # one MXU matmul over the whole stencil
         return out * (9.0 / jnp.maximum(count, 1.0))
 
 
