@@ -97,13 +97,15 @@ def _proxy_perp_foot_dist(vertex_pred, keypoint_targets, vertex_one_hot_weights,
     b, h, w, ver_dim = vertex_pred.shape
     vn = ver_dim // 2
 
+    oc = vertex_one_hot_weights.shape[-1]
+    ic = keypoint_targets.shape[2]
     obj_idx = jnp.argmax(vertex_one_hot_weights, axis=-1)  # [b,h,w]
-    # Gather each pixel's object keypoints: [b,h,w,ic,vn,2].
-    kp = jnp.take_along_axis(
-        keypoint_targets[:, None, None],  # [b,1,1,oc,ic,vn,2]
-        obj_idx[..., None, None, None, None],
-        axis=3,
-    )[:, :, :, 0]
+    # Per-pixel keypoint selection as a one-hot contraction (take_along_axis
+    # over a pixel-broadcast keypoint tensor builds a huge gather operand).
+    onehot = (obj_idx[..., None] == jnp.arange(oc)[None, None, None]).astype(vertex_pred.dtype)
+    kp = jnp.einsum(
+        "bhwc,bcf->bhwf", onehot, keypoint_targets.reshape(b, oc, ic * vn * 2)
+    ).reshape(b, h, w, ic, vn, 2)
     # Keypoints are stored (y, x); build (x, -y) for the cross-product form.
     k_y = kp[..., 0:1]
     k_x = kp[..., 1:2]
@@ -126,11 +128,12 @@ def _proxy_perp_foot_dist(vertex_pred, keypoint_targets, vertex_one_hot_weights,
 def _gather_separated_fields(vertex_pred, vertex_one_hot_weights, vertex_weights, oc, vn):
     """pvnet-style multi-field handling: select each pixel's own-class field."""
     b, h, w, _ = vertex_pred.shape
-    vp = vertex_pred.reshape(b, h, w, oc, vn, 2)
+    vp = vertex_pred.reshape(b, h, w, oc, vn * 2)
     obj_idx = jnp.argmax(vertex_one_hot_weights, axis=3)
-    vp = jnp.take_along_axis(vp, obj_idx[..., None, None, None], axis=3)[:, :, :, 0]
-    vp = jnp.where(vertex_weights[..., None] > 0, 0.0, vp)
-    return vp.reshape(b, h, w, vn * 2)
+    onehot = (obj_idx[..., None] == jnp.arange(oc)[None, None, None]).astype(vertex_pred.dtype)
+    vp = jnp.einsum("bhwc,bhwcf->bhwf", onehot, vp)
+    vp = jnp.where(vertex_weights > 0, 0.0, vp)
+    return vp
 
 
 def proxy_voting_dist(

@@ -31,29 +31,32 @@ def compute_vertex_vectorfield(mask, coords, use_motion=False):
       [b, h, w, m*2] direction field, (dy, dx) per keypoint.
     """
     b, h, w, _ = mask.shape
+    c = coords.shape[1]
     o = coords.shape[2]
     m = coords.shape[3]
     dtype = coords.dtype
 
-    # Prepend a background row so label 0 selects zeros.
-    coords = jnp.concatenate([jnp.zeros((b, 1, o, m, 2), dtype), coords], axis=1)
     labels = mask[..., 0].astype(jnp.int32)  # [b,h,w]
+    # Per-pixel object selection as a one-hot contraction: a
+    # take_along_axis over a pixel-broadcast coords tensor materializes a
+    # gigabyte-scale gather operand; the [P, C] x [C, o*m*2] matmul form is
+    # a few MXU tiles instead. Label 0 (background) selects nothing.
+    onehot = (labels[..., None] == (jnp.arange(c, dtype=jnp.int32) + 1)[None, None, None]).astype(dtype)
+    coords_on_mask = jnp.einsum(
+        "bhwc,bcf->bhwf", onehot, coords.reshape(b, c, o * m * 2)
+    ).reshape(b, h, w, o, m, 2)
 
     gy = (jnp.arange(h, dtype=dtype) + 0.5)[None, :, None]
     gx = (jnp.arange(w, dtype=dtype) + 0.5)[None, None, :]
     grid = jnp.stack([jnp.broadcast_to(gy, (b, h, w)), jnp.broadcast_to(gx, (b, h, w))], axis=-1)  # [b,h,w,2]
 
-    # coords_on_mask: [b,h,w,o,m,2]
-    coords_on_mask = jnp.take_along_axis(
-        coords[:, None, None], labels[..., None, None, None, None], axis=3
-    )[:, :, :, 0]
-
     if o > 1:
         # Nearest-instance-center assignment (first keypoint = center).
         centers = coords_on_mask[:, :, :, :, 0]  # [b,h,w,o,2]
         grid_dist = jnp.linalg.norm(grid[:, :, :, None] - centers, axis=-1)  # [b,h,w,o]
-        closest = jnp.where(labels == 0, 0, jnp.argmin(grid_dist, axis=-1).astype(jnp.int32))
-        kp = jnp.take_along_axis(coords_on_mask, closest[..., None, None, None], axis=3)[:, :, :, 0]
+        closest = jnp.argmin(grid_dist, axis=-1)
+        inst_onehot = (closest[..., None] == jnp.arange(o)[None, None, None]).astype(dtype)
+        kp = jnp.einsum("bhwo,bhwomd->bhwmd", inst_onehot, coords_on_mask)
     else:
         kp = coords_on_mask[:, :, :, 0]  # [b,h,w,m,2]
 
