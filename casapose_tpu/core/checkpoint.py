@@ -129,30 +129,60 @@ def _h5_weight_map(h5_path):
 def import_keras_h5(h5_path, variables, verbose=False):
     """Convert a reference Keras h5 export into our variable tree.
 
-    Handles the layout differences: PartialConvolution weights are stored
-    (ch, 3, 3, dim) (ref _normalization_layers.py:314-318) -> HWIO; BN
-    gamma/beta/moving_* -> flax scale/bias/mean/var; CLADE per-class tables
-    keep their (C, ch) layout. Unknown datasets are skipped (by-name
-    semantics).
+    Handles the layout differences, validated against real ``save_weights``
+    files produced by the reference model code (tests/test_tf_parity.py):
+
+      * backbone layers are nested under the backbone sub-Model group
+        (``model/<layer>/<weight>:0``) -> our ``backbone/<layer>`` subtree;
+      * decoder layers duplicate the layer name
+        (``<layer>/<layer>/<weight>:0``);
+      * CLADE running stats live one group deeper, under the layer's
+        parameter-free inner BN (``<layer>/<layer>/sync_batch_normalization/
+        moving_*``, ref _normalization_layers.py:94) -> ``<layer>/bn/*``;
+      * non-shared PartialConvolution layers are named
+        ``pv_block_N_prepare_conv2d`` (ref casapose.py:63-64) while the
+        shared ones are ``pv_block_N_M_conv2d`` -> both map to our
+        ``pv_block_*_conv2d``; their kernels are stored (ch, 3, 3, dim)
+        (ref _normalization_layers.py:314-318) -> HWIO transpose;
+      * the trainable HalfSize variant wraps an auto-named inner Conv2D
+        (ref _normalization_layers.py:266-281) -> ``<layer>/kernel``;
+      * BN gamma/beta/moving_* -> flax scale/bias/mean/var; CLADE per-class
+        tables keep their (C, ch) layout.
+
+    Unknown datasets are skipped (by-name, skip-mismatch semantics).
     """
     raw = _h5_weight_map(h5_path)
     params = flatten_params(variables["params"])
     stats = flatten_params(variables.get("batch_stats", {}))
 
+    def owner_of(groups):
+        """The Keras layer that owns a dataset, given its h5 group path."""
+        owner = groups[-1]
+        # Auto-named inner sublayers (CLADE's parameter-free BN, trainable
+        # HalfSize's Conv2D): the owning layer is the enclosing group.
+        if owner.split("_")[0] in ("sync", "conv2d", "batch") or owner.startswith(
+            ("sync_batch_normalization", "conv2d", "batch_normalization")
+        ):
+            if len(groups) >= 2:
+                owner = groups[-2]
+        return owner
+
     def candidates(layer):
+        names = [layer]
+        if layer.endswith("_prepare_conv2d"):  # non-shared PartialConvolution
+            names.append(layer[: -len("_prepare_conv2d")] + "_conv2d")
         # our tree prefixes: backbone layers live under backbone/
-        return [layer, f"backbone/{layer}"]
+        return [n for base in names for n in (base, f"backbone/{base}")]
 
     loaded, skipped = 0, []
     for key, value in raw.items():
         parts = [p for p in key.split("/") if p]
         wname = parts[-1].split(":")[0]
-        layer = None
-        for p in parts[:-1]:
-            layer = p  # innermost group before the dataset
-        if layer is None:
+        groups = parts[:-1]
+        if not groups:
             skipped.append(key)
             continue
+        layer = owner_of(groups)
         placed = False
         for base in candidates(layer):
             if wname == "kernel":
@@ -184,6 +214,11 @@ def import_keras_h5(h5_path, variables, verbose=False):
                     if params[k].shape == transposed.shape:
                         params[k] = transposed
                         placed = True
+            elif wname.endswith("_alpha_1") or wname.endswith("_alpha_2"):
+                k = f"{base}/alpha_{wname[-1]}"
+                if k in params and params[k].shape == value.shape:
+                    params[k] = value
+                    placed = True
             if placed:
                 break
         if placed:
