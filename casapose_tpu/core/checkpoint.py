@@ -234,6 +234,73 @@ def import_keras_h5(h5_path, variables, verbose=False):
     return out, loaded, skipped
 
 
+# ------------------------------------------------ ImageNet backbone init
+
+# qubvel classification_models ImageNet exports (no-top) — the exact files
+# the reference auto-downloads for its backbone (weights.py:43-358,
+# resnet.py:322-326). URL/md5 pairs are public release artifacts.
+IMAGENET_WEIGHTS = {
+    name: {
+        "url": f"https://github.com/qubvel/classification_models/releases/download/0.0.1/{name}_imagenet_1000_no_top.h5",
+        "file": f"{name}_imagenet_1000_no_top.h5",
+        "md5": md5,
+    }
+    for name, md5 in [
+        ("resnet18", "318e3ac0cd98d51e917526c9f62f0b50"),
+        ("resnet34", "8caaa0ad39d927cb8ba5385bf945d582"),
+        ("resnet50", "db3b217156506944570ac220086f09b6"),
+        ("resnet101", "1016e7663980d5597a4e224d915c342d"),
+        ("resnet152", "5867b94098df4640918941115db93734"),
+    ]
+}
+
+
+def find_imagenet_h5(base_model: str) -> Optional[str]:
+    """Locate (or fetch) the ImageNet backbone h5.
+
+    Resolution order: ``$CASAPOSE_IMAGENET_H5`` -> the Keras cache the
+    reference populates (``~/.keras/models/``) -> download (skipped when
+    offline). Returns None when unavailable.
+    """
+    spec = IMAGENET_WEIGHTS.get(base_model)
+    if spec is None:
+        return None
+    override = os.environ.get("CASAPOSE_IMAGENET_H5")
+    if override and os.path.exists(override):
+        return override
+    cache = os.path.join(os.path.expanduser("~"), ".keras", "models", spec["file"])
+    if os.path.exists(cache):
+        return cache
+    try:
+        import urllib.request
+
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        urllib.request.urlretrieve(spec["url"], cache)  # noqa: S310 — fixed release URL
+        return cache
+    except Exception as e:  # offline / fetch failure: pretrained init is skipped
+        print(f"imagenet weights unavailable for {base_model}: {e}")
+        return None
+
+
+def load_imagenet_backbone(variables, base_model: str = "resnet18", path: Optional[str] = None, verbose=False):
+    """Initialize the backbone subtree from a qubvel-format ImageNet h5.
+
+    The h5 stores top-level layer groups (same names as our backbone
+    modules); ``import_keras_h5`` maps them under ``backbone/``. Decoder
+    parameters are untouched (there are none in the file). Returns
+    (variables, n_loaded) — n_loaded == 0 means nothing was initialized.
+    """
+    if path is None:
+        path = find_imagenet_h5(base_model)
+    if path is None:
+        return variables, 0
+    variables, loaded, skipped = import_keras_h5(path, variables, verbose=verbose)
+    # Only backbone datasets should remain unmapped (the classification
+    # file has no decoder layers); anything loaded outside backbone/ would
+    # indicate a name collision — the layer names are disjoint by design.
+    return variables, loaded
+
+
 # --------------------------------------------------------- weight surgery
 
 

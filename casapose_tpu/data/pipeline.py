@@ -211,29 +211,26 @@ def prepare_device_batch(img_u8, labelmap, num_classes, rng_key=None, noise=0.0,
                          saturation=0.0, hue=0.0, color_jitter=False, normal=(0.5, 0.5), grayscale_to_rgb=False):
     """Device-side batch finishing (jit-able).
 
-    uint8 image -> float normalized ((x/255 - m) / s), optional color jitter
-    (the non-imgaug augmentation path, vectorfield_dataset.py:261-271) and
-    gaussian noise; labelmap -> one-hot target segmentation.
+    uint8 image -> optional color jitter on the RAW 0..255 scale (the
+    non-imgaug augmentation path: true hue rotation + saturation +
+    brightness + contrast with tf.image semantics — see data/color.py,
+    ref vectorfield_dataset.py:261-266) -> normalize ((x/255 - m)/s) ->
+    gaussian noise with one batch-level std ~ U(0, noise), clipped to
+    [-1, 1] (exactly image_utils.py:4-13 — the reference also draws a
+    single stddev per batch); labelmap -> one-hot target segmentation.
     """
     import jax
     import jax.numpy as jnp
 
+    from casapose_tpu.data.color import random_color_jitter
+
     img = img_u8.astype(jnp.float32)
     if color_jitter and rng_key is not None:
-        k1, k2, k3, k4 = jax.random.split(rng_key, 4)
-        if hue > 0 or saturation > 0:
-            # Cheap HSV-free approximation of small hue/saturation jitter:
-            # channel-correlated scaling around the luma.
-            luma = jnp.mean(img, axis=-1, keepdims=True)
-            sat = 1.0 + jax.random.uniform(k1, (img.shape[0], 1, 1, 1), minval=-saturation, maxval=saturation)
-            img = luma + (img - luma) * sat
-        if brightness > 0:
-            img = img + jax.random.uniform(k2, (img.shape[0], 1, 1, 1), minval=-brightness, maxval=brightness) * 255.0
-        if contrast > 0:
-            c = 1.0 + jax.random.uniform(k3, (img.shape[0], 1, 1, 1), minval=-contrast, maxval=contrast)
-            mean = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
-            img = (img - mean) * c + mean
-        img = jnp.clip(img, 0.0, 255.0)
+        kj = jax.random.fold_in(rng_key, 0)
+        img = random_color_jitter(
+            img, kj, hue=hue, saturation=saturation, brightness=brightness, contrast=contrast,
+            color=img.shape[-1] == 3,
+        )
     img = (img / 255.0 - normal[0]) / normal[1]
     if noise > 0 and rng_key is not None:
         kk = jax.random.split(rng_key, 2)[1]

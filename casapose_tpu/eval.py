@@ -144,10 +144,22 @@ def run_evaluation(opt):
     from casapose_tpu.data.ndds import VectorfieldDataset
     from casapose_tpu.utils.io import write_poses
 
+    # The TF reference evaluates in float32; TPU's default matmul precision
+    # feeds the MXU bf16 inputs, which measurably shifts losses/metrics
+    # (validated against the reference harness in tests/test_reference_e2e.py).
+    if getattr(opt, "matmul_precision", None):
+        jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
+
     os.makedirs(opt.evalf, exist_ok=True)
     objectsofinterest = [x.strip() for x in opt.object.split(",")]
     no_objects = len(objectsofinterest)
     separated = opt.modelname == "pvnet"
+
+    # Same-folder train/test -> evaluate the held-out validation split
+    # (test_casapose.py:149-151).
+    use_split = opt.data == opt.datatest
+    if use_split:
+        print(f"split datasets with ratio {opt.train_validation_split}")
 
     test_dataset = VectorfieldDataset(
         root=opt.datatest,
@@ -160,6 +172,8 @@ def run_evaluation(opt):
         random_translation=(0, 0),
         random_rotation=0,
         random_crop=False,
+        use_validation_split=use_split,
+        train_validation_split=opt.train_validation_split,
         separated_vectorfields=separated,
         wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
     )
@@ -268,6 +282,7 @@ def run_evaluation(opt):
                 objectsofinterest,
                 batch["image_id"][0],
                 os.path.join(opt.evalf, "poses_out") + "/",
+                time_needed=dt,  # per-image step time (BOP csv time column)
             )
         if opt.save_eval_batches:
             from casapose_tpu.utils.visualization import save_eval_batch

@@ -19,16 +19,27 @@ def exponential_decay_late_start(
 ):
     """Exponential decay that only begins after ``decay_steps_start`` steps.
 
-    Mirrors ``ExponentialDecayLateStart`` (learning_rate_schedules.py:6-59):
-      lr(step) = lr0 * decay_rate ** f((step - start) / decay_steps)
-    with f = floor when staircase, clamped to 0 before ``start``.
+    Mirrors ``ExponentialDecayLateStart`` (learning_rate_schedules.py:25-49)
+    exactly, including the offset term: once ``decay_steps_start != 0``, the
+    exponent gets +1 the moment decay starts (the first decay "fires" at
+    ``start``, not ``start + decay_steps``):
+
+      p(step) = 0                                   if step < start
+              = offset + (step - start)/decay_steps otherwise,
+        offset = 0 if start == 0 else 1
+      lr(step) = lr0 * decay_rate ** (floor(p) if staircase else p)
     """
 
     def schedule(step):
         import jax.numpy as jnp
 
-        t = jnp.maximum(step - decay_steps_start, 0) / decay_steps
-        p = jnp.floor(t) if staircase else t
+        offset = 0.0 if decay_steps_start == 0 else 1.0
+        p = jnp.where(
+            step < decay_steps_start,
+            0.0,
+            offset + (step - decay_steps_start) / decay_steps,
+        )
+        p = jnp.floor(p) if staircase else p
         return initial_learning_rate * (decay_rate**p)
 
     return schedule

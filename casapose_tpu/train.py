@@ -299,6 +299,9 @@ def run_training(opt):
     from casapose_tpu.data.ndds import VectorfieldDataset
 
     print("start:", datetime.datetime.now().time())
+    # Match the f32 reference numerics (see utils/config.py --matmul_precision).
+    if getattr(opt, "matmul_precision", None):
+        jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
     checkpoint_path = os.path.join(opt.outf, opt.net)
     frozen_path = os.path.join(opt.outf, "frozen_model")
     for p in (opt.outf, checkpoint_path, frozen_path):
@@ -376,6 +379,18 @@ def run_training(opt):
 
     model = build_model_from_opt(opt, no_objects)
     variables = init_model(model, opt.imagesize, opt.train_vectors_with_ground_truth, seed=opt.manualseed)
+
+    # ImageNet backbone init, as the reference always does for training
+    # (resnet.py:322-326, train_casapose.py:329). Resolution order:
+    # $CASAPOSE_IMAGENET_H5 -> ~/.keras/models cache -> download.
+    if opt.pretrained:
+        from casapose_tpu.core.checkpoint import load_imagenet_backbone
+
+        variables, n_bb = load_imagenet_backbone(variables, base_model=opt.backbonename)
+        if n_bb:
+            print(f"initialized backbone from imagenet weights ({n_bb} arrays)")
+        else:
+            print("pretrained=1 but imagenet weights unavailable; training from random init")
 
     lr_schedule = make_lr_schedule(
         opt.lr, opt.lr_decay, opt.lr_epochs, opt.lr_epochs_start, opt.lr_epochs_steps, int(train_batches)
@@ -556,7 +571,7 @@ def run_training(opt):
                     acc[0] += ps[0]  # valid 2d
                     acc[1] += ps[1]  # valid 3d
                     acc[2] += ps[2]  # gt count
-                    acc[3] += ps[3]  # fp
+                    acc[3] += ps[7]  # fp (stats row 7, as the eval harness uses; row 3 is all-zero on the LS path)
                     acc[4] += ps[4]  # err 2d
                     acc[5] += ps[5]  # err 3d
             epoch_loss /= max(int(test_batches), 1)

@@ -6,6 +6,7 @@ import h5py
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from casapose_tpu.core.checkpoint import (
     apply_expansion_surgery,
@@ -27,6 +28,7 @@ def _tiny_model(oc=2, k=3):
     return model, dict(variables)
 
 
+@pytest.mark.slow
 def test_npz_roundtrip(tmp_path):
     _, variables = _tiny_model()
     path = str(tmp_path / "weights.npz")

@@ -11,6 +11,9 @@ import pytest
 from tests.test_data_pipeline import IMG_H, IMG_W, OBJECTS, _make_meshes, _make_scene
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("e2e")

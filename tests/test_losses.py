@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from casapose_tpu.losses.losses import (
     LossWeights,
@@ -137,6 +138,7 @@ def test_keypoint_reprojection_loss_with_pose_estimation():
     np.testing.assert_allclose(p[0, :, 0, 2, 3], 0.8, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_keypoint_reprojection_loss_bpnp_grad_finite():
     setup = _kp_loss_setup(use_bpnp=True, estimate_poses=True, conf_reg=True)
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from casapose_tpu.data.pipeline import prepare_device_batch
 from casapose_tpu.models.registry import get_model
@@ -18,6 +19,7 @@ def test_grayscale_to_rgb_path():
     np.testing.assert_allclose(np.asarray(out)[..., 0], np.asarray(out)[..., 2])
 
 
+@pytest.mark.slow
 def test_output_labelmap_mode():
     model = get_model("casapose_c_gcu5", ver_dim=6, seg_dim=3, output_labelmap=True)
     x = jnp.zeros((1, 32, 32, 3))

@@ -4,6 +4,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from casapose_tpu.pose.bpnp import bpnp_pose
@@ -44,6 +45,7 @@ def test_epnp_exact_correspondences():
     assert np.all(err < 1.0), err
 
 
+@pytest.mark.slow
 def test_solve_pnp_recovers_exact_pose():
     rng = np.random.default_rng(1)
     pts2d, pts3d, R_gt, t_gt, rvec_gt = make_problem(16, 9, rng)
@@ -54,6 +56,7 @@ def test_solve_pnp_recovers_exact_pose():
     np.testing.assert_allclose(RT[:, :, 3], t_gt, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_solve_pnp_vs_cv2_noisy():
     """With 1px noise, our GN solution should match cv2's refined solution
     to sub-millimeter translation (both find the same LS optimum)."""
@@ -120,6 +123,7 @@ def test_bpnp_gradient_matches_finite_differences():
         np.testing.assert_allclose(g[bi, ni, ci], fd, rtol=0.12, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_bpnp_zero_rows_finite_gradients():
     rng = np.random.default_rng(5)
     pts2d, pts3d, _, _, _ = make_problem(3, 9, rng)

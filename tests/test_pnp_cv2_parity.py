@@ -8,12 +8,15 @@ this test quantifies it over a population of noisy problems.
 import cv2
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from casapose_tpu.pose.epnp import pose_matrix_from_p6d, solve_pnp
 
 K = np.array([[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]], np.float64)
 
+
+pytestmark = pytest.mark.slow
 
 def _population(n, rng, noise):
     pts3d = rng.uniform(-0.06, 0.06, size=(n, 9, 3))

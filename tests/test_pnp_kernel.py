@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from casapose_tpu.ops.pnp_kernel import lm_refine_pallas
@@ -29,6 +30,7 @@ def _make(B=8, N=9, seed=0, init_rot_noise=0.2, init_t_noise=0.05, px_noise=0.0)
     return pts2d, pts3d, R_gt, t_gt, R0, t0
 
 
+@pytest.mark.slow
 def test_lm_kernel_converges_exact():
     pts2d, pts3d, R_gt, t_gt, R0, t0 = _make()
     R, t, err = lm_refine_pallas(
@@ -40,6 +42,7 @@ def test_lm_kernel_converges_exact():
     np.testing.assert_allclose(np.asarray(R), R_gt, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lm_kernel_noisy_matches_xla_refine():
     """The kernel and the XLA LM path must find the same optimum."""
     from casapose_tpu.pose.epnp import _refine

@@ -136,6 +136,49 @@ def test_forward_parity_gt_seg_input(oracle_dir):
     assert d[..., meta["seg_dim"] :].max() < 5e-2
 
 
+def test_imagenet_backbone_import(oracle_dir):
+    """Backbone-only h5 (qubvel ImageNet layout) initializes our backbone.
+
+    VERDICT round-1 item 2: imported-vs-random activations differ and the
+    imported backbone matches the TF backbone on a fixed input.
+    """
+    from functools import partial
+
+    import jax
+
+    from casapose_tpu.core.checkpoint import load_imagenet_backbone
+    from casapose_tpu.models.resnet import ResNetBackbone
+
+    out = os.path.join(str(oracle_dir), "backbone")
+    if not os.path.exists(os.path.join(out, "backbone_fixture.npz")):
+        _run_oracle(["backbone"], out)
+    fx = np.load(os.path.join(out, "backbone_fixture.npz"))
+    bb = ResNetBackbone("resnet18")
+    x = fx["input"]
+    variables = jax.jit(partial(bb.init, train=False))(jax.random.PRNGKey(0), x)
+    random_feats = [np.asarray(o) for o in bb.apply(variables, x, train=False)]
+    v2, n = load_imagenet_backbone(variables, "resnet18", path=os.path.join(out, "backbone.h5"))
+    assert n == 96  # every dataset of the reference resnet18 export
+    feats = [np.asarray(o) for o in bb.apply(v2, x, train=False)]
+    for i in range(5):
+        d = np.abs(feats[i] - fx[f"feat{i}"])
+        assert d.max() < 1e-3, f"feat{i} diverges: {d.max()}"
+        # imported-vs-random must actually differ (the import took effect)
+        assert np.abs(random_feats[i] - fx[f"feat{i}"]).max() > 0.1
+
+
+def test_imagenet_env_override(oracle_dir, monkeypatch):
+    """$CASAPOSE_IMAGENET_H5 short-circuits cache/download resolution."""
+    from casapose_tpu.core.checkpoint import find_imagenet_h5
+
+    out = os.path.join(str(oracle_dir), "backbone")
+    if not os.path.exists(os.path.join(out, "backbone.h5")):
+        _run_oracle(["backbone"], out)
+    monkeypatch.setenv("CASAPOSE_IMAGENET_H5", os.path.join(out, "backbone.h5"))
+    assert find_imagenet_h5("resnet18") == os.path.join(out, "backbone.h5")
+    assert find_imagenet_h5("not_a_model") is None
+
+
 @pytest.mark.parametrize("filt", [False, True])
 def test_ls_voting_parity(oracle_dir, filt):
     from casapose_tpu.ops.voting import ls_voting

@@ -205,6 +205,37 @@ def cmd_forward(args):
     print(json.dumps({"ok": True, **meta}))
 
 
+def cmd_backbone(args):
+    """Export the bare reference ResNet backbone (qubvel layout) + taps.
+
+    The saved h5 has the same top-level-layer-group layout as the qubvel
+    classification_models ImageNet files the reference auto-downloads
+    (weights.py:43-358), so it stands in for them in offline tests.
+    """
+    _setup_env()
+    import numpy as np
+    import tensorflow as tf
+
+    from casapose.pose_models.models.resnet import get_backbone
+    from casapose.pose_models.tfkeras import Classifiers
+
+    tf.random.set_seed(0)
+    backbone = get_backbone(
+        args.base_model, input_shape=(args.height, args.width, 3), weights=None, **Classifiers.get_kwargs()
+    )
+    _seed_weights(backbone)
+    os.makedirs(args.out, exist_ok=True)
+    backbone.save_weights(os.path.join(args.out, "backbone.h5"))
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1.0, 1.0, (1, args.height, args.width, 3)).astype(np.float32)
+    feats = backbone(x, training=False)
+    fixture = {"input": x}
+    for i, ft in enumerate(feats):
+        fixture[f"feat{i}"] = np.asarray(ft)
+    np.savez(os.path.join(args.out, "backbone_fixture.npz"), **fixture)
+    print(json.dumps({"ok": True, "n_weights": len(backbone.weights), "n_feats": len(feats)}))
+
+
 def cmd_voting(args):
     _setup_env()
     import numpy as np
@@ -261,6 +292,13 @@ def main():
     f.add_argument("--gt-seg-input", action="store_true")
     f.add_argument("--taps", action="store_true")
     f.set_defaults(func=cmd_forward)
+
+    b = sub.add_parser("backbone")
+    b.add_argument("--base-model", default="resnet18")
+    b.add_argument("--out", required=True)
+    b.add_argument("--height", type=int, default=64)
+    b.add_argument("--width", type=int, default=64)
+    b.set_defaults(func=cmd_backbone)
 
     v = sub.add_parser("voting")
     v.add_argument("--out", required=True)
