@@ -69,6 +69,7 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
                 num_points=k,
                 filter_estimates=bool(opt.confidence_filter_estimates),
                 output_second_largest_component=bool(opt.confidence_choose_second),
+                cc_downsample=int(getattr(opt, "cc_filter_downsample", 4)),
             )
             kp_loss, poses_est, points_est = keypoint_reprojection_loss(
                 coords,

@@ -96,37 +96,73 @@ def _run_lengths_sorted(s):
     return start, end - start + 1
 
 
-def largest_component_mask(fg, min_size=50, second_largest=False):
+def _run_totals_sorted(s, w):
+    """Per-position sum of ``w`` over the run of equal values in sorted ``s``.
+
+    Segmented cumulative sum within each run, then the run-end total is
+    propagated back over the whole run (two associative scans).
+    """
+    new_run = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    run_end = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+
+    def seg_sum(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, va + vb)
+
+    _, csum = lax.associative_scan(seg_sum, (new_run, w))
+
+    def hold(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, va)
+
+    _, total = lax.associative_scan(hold, (run_end, csum), reverse=True)
+    return total
+
+
+def largest_component_mask(fg, min_size=50, second_largest=False, weights=None):
     """Keep only the largest (or second-largest) component of each mask.
 
     Mirrors the reference's bincount + top-k filter
-    (voting_layers_2d.py:58-79): components smaller than ``min_size`` pixels
-    are discarded entirely. Component sizes come from a sorted-run-length
-    computation rather than a scatter histogram (see _run_lengths_sorted).
+    (voting_layers_2d.py:58-79): components smaller than ``min_size`` are
+    discarded entirely. Component sizes come from sorted-run computations
+    rather than a scatter histogram (TPU scatters with colliding indices
+    serialize; sorts and scans are vectorized).
 
     Args:
       fg: [M, h, w] boolean masks.
+      weights: optional [M, h, w] per-pixel size weights. When the masks are
+        a coarsened view (instance_filter_mask downsample > 1), passing the
+        fine-pixel count per coarse cell makes both the ``min_size``
+        threshold and the largest-component choice exact in TRUE pixels —
+        only connectivity stays approximated.
     Returns:
       [M, h, w] float32 mask of the selected component (possibly all-zero).
     """
     m, h, w = fg.shape
     labels = connected_components_labels(fg)
     flat = labels.reshape(m, h * w)
+    if weights is None:
+        wflat = jnp.ones((m, h * w), jnp.int32)
+    else:
+        wflat = weights.reshape(m, h * w).astype(jnp.int32)
 
-    def best_label_for(row):
-        s = jnp.sort(row)
-        _, run_len = _run_lengths_sorted(s)
-        valid = (s > 0) & (run_len >= min_size)
-        score = jnp.where(valid, run_len, 0)
+    def best_label_for(row, wrow):
+        order = jnp.argsort(row)
+        s = row[order]
+        run_size = _run_totals_sorted(s, wrow[order])
+        valid = (s > 0) & (run_size >= min_size)
+        score = jnp.where(valid, run_size, 0)
         best = s[jnp.argmax(score)]
         best_ok = jnp.max(score) > 0
         if second_largest:
-            score2 = jnp.where(valid & (s != best), run_len, 0)
+            score2 = jnp.where(valid & (s != best), run_size, 0)
             best2 = s[jnp.argmax(score2)]
             best2_ok = jnp.max(score2) > 0
             return jnp.where(best2_ok, best2, -1)
         return jnp.where(best_ok, best, -1)
 
-    target = jax.vmap(best_label_for)(flat)  # [M]
+    target = jax.vmap(best_label_for)(flat, wflat)  # [M]
     keep = fg & (labels == target[:, None, None]) & (target[:, None, None] > 0)
     return keep.astype(jnp.float32)

@@ -36,20 +36,26 @@ def instance_filter_mask(hot_bool, min_component_size=50, second_largest=False, 
       hot_bool: [b, h, w, oc] boolean per-class foreground.
     Returns: [b, h, w, oc] float32 keep-mask.
 
-    The labeling runs at 1/``downsample`` resolution (OR-pooled): the filter
-    only needs to find the largest blob and drop sub-``min_component_size``
-    noise, which survives 4x coarsening (a 50 px blob is ~4 coarse px),
-    while the flood scans get 16x cheaper and compile minutes faster.
-    Set ``downsample=1`` for exact full-resolution semantics.
+    The labeling runs at 1/``downsample`` resolution (OR-pooled), which
+    makes the flood scans ~downsample^2 cheaper and compiles minutes
+    faster. Component SIZES are exact at any downsample: each coarse cell
+    is weighted by its true fine-pixel count, so both the
+    ``min_component_size`` threshold and the largest-component choice use
+    TRUE pixel counts (validated vs scipy in tests/test_cc_filter.py).
+    Only connectivity is coarsened — blobs closer than ``downsample`` px
+    can merge. Set ``downsample=1`` for exact tfa semantics.
     """
     b, h, w, oc = hot_bool.shape
     flat = hot_bool.transpose(0, 3, 1, 2).reshape(b * oc, h, w)
     if downsample > 1:
         hs, ws = h // downsample, w // downsample
-        small = flat[:, : hs * downsample, : ws * downsample]
-        small = small.reshape(b * oc, hs, downsample, ws, downsample).any(axis=(2, 4))
-        min_small = max(1, min_component_size // (downsample * downsample))
-        comp_small = largest_component_mask(small, min_size=min_small, second_largest=second_largest)
+        cropped = flat[:, : hs * downsample, : ws * downsample]
+        blocks = cropped.reshape(b * oc, hs, downsample, ws, downsample)
+        small = blocks.any(axis=(2, 4))
+        counts = blocks.sum(axis=(2, 4))  # true pixels per coarse cell
+        comp_small = largest_component_mask(
+            small, min_size=min_component_size, second_largest=second_largest, weights=counts
+        )
         comp = jnp.repeat(jnp.repeat(comp_small, downsample, axis=1), downsample, axis=2)
         pad_h, pad_w = h - hs * downsample, w - ws * downsample
         if pad_h or pad_w:
@@ -92,6 +98,7 @@ def ls_voting(
     filter_estimates=False,
     output_second_largest_component=False,
     min_component_size=50,
+    cc_downsample=4,
 ):
     """Weighted least-squares keypoint voting.
 
@@ -103,6 +110,8 @@ def ls_voting(
       sigmoid_weights: sigmoid instead of softplus confidence transform.
       filter_estimates: keep only the largest connected component >=
         ``min_component_size`` px of each class mask (inference-time filter).
+      cc_downsample: resolution divisor for the component labeling
+        (see instance_filter_mask; 1 = exact tfa semantics).
     Returns:
       [b, oc, num_points, 2] voted keypoints in (y, x) pixels (scaled by
       image height on both axes — reference convention).
@@ -123,7 +132,7 @@ def ls_voting(
 
     if filter_estimates:
         hot = hot * instance_filter_mask(
-            hot > 0.5, min_component_size, output_second_largest_component
+            hot > 0.5, min_component_size, output_second_largest_component, downsample=cc_downsample
         ).astype(dtype)
 
     n = directions.reshape(b, h, w_img, k, 2)

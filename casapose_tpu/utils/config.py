@@ -42,6 +42,11 @@ def build_parser():
     parser.add_argument("--estimate_coords", type=str2bool, default=False, help="network estimates coords via reprojection and bpnp")
     parser.add_argument("--confidence_regularization", type=str2bool, default=False, help="loss regularization so the estimates do not get too small")
     parser.add_argument("--confidence_filter_estimates", type=str2bool, default=True, help="apply connected component analysis and choose largest")
+    parser.add_argument(
+        "--cc_filter_downsample", type=int, default=4,
+        help="resolution divisor for the connected-component instance filter (1 = exact full-resolution "
+        "labeling, matching tfa.image.connected_components; 4 = OR-pooled quarter resolution, ~16x cheaper)",
+    )
     parser.add_argument("--confidence_choose_second", type=str2bool, default=False, help="choose second largest component during testing")
 
     parser.add_argument("--mask_loss_weight", type=float, default=1.0, help="mask loss weight")
