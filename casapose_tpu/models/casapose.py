@@ -199,6 +199,11 @@ class CASAPoseModel(nn.Module):
                             h = guided_bilinear_upsampling(h, seg_masks[i], guide)
                         else:
                             h = guided_upsampling(h, seg_masks[i], guide)
+                    elif dp.bilinear_upsampling:
+                        # bilinear without a guide mask (ref casa_layer
+                        # casapose.py:122-129)
+                        b, hh, ww, cc = h.shape
+                        h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="bilinear")
                     else:
                         h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)  # nearest 2x
                 else:

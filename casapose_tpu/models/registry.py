@@ -28,6 +28,40 @@ def _spec(pc=(0, 0, 0, 0, 0), gu=False, bu=False, rc=(0, 0, 0, 0, 0), **kw):
     return VariantSpec(decoder_params=params, **kw)
 
 
+def parse_decoder_params(spec):
+    """Per-layer DecoderParams from a compact description.
+
+    Accepts a list of 5 DecoderParams / 5-tuples / dicts, or a string of 5
+    comma-separated 5-bit groups "wc pc gu bu rc", e.g. the gcu5 wiring is
+    ``"11000,11100,11100,11100,11000"``. Mirrors the reference's
+    ``CASAPose(layer_params, ...)`` contract (casapose.py:18-35).
+    """
+    if isinstance(spec, str):
+        groups = [g.strip() for g in spec.split(",")]
+        if len(groups) != 5 or any(len(g) != 5 or set(g) - {"0", "1"} for g in groups):
+            raise ValueError(
+                f"decoder_params string must be 5 comma-separated 5-bit groups (wc pc gu bu rc), got {spec!r}"
+            )
+        spec = [tuple(c == "1" for c in g) for g in groups]
+    if len(spec) != 5:
+        raise ValueError(f"decoder_params needs exactly 5 per-layer entries, got {len(spec)}")
+    out = []
+    for entry in spec:
+        if isinstance(entry, DecoderParams):
+            out.append(entry)
+        elif isinstance(entry, dict):
+            out.append(DecoderParams(**entry))
+        else:
+            wc, pc, gu, bu, rc = entry
+            out.append(
+                DecoderParams(
+                    weighted_clade=bool(wc), partial_conv=bool(pc), guided_upsampling=bool(gu),
+                    bilinear_upsampling=bool(bu), reuse_conv=bool(rc),
+                )
+            )
+    return tuple(out)
+
+
 MODEL_SPECS = {
     # Paper models (BMVC 2022)
     "casapose_c": _spec(stop_gradient_mask=False, halfsize_trainable=True),  # Conditional1
@@ -58,15 +92,31 @@ def get_model(
     output_labelmap: bool = False,
     **kwargs,
 ):
-    """Instantiate a model module by reference name."""
+    """Instantiate a model module by reference name.
+
+    ``casapose_custom`` additionally accepts ``decoder_params`` (see
+    :func:`parse_decoder_params`) to reconfigure the five decoder layers
+    without code duplication — the reference's generic ``CASAPose(
+    layer_params, ...)`` builder (casapose.py:145, models_factory.py:24).
+    Defaults to the shipped "clade" wiring (== gcu5 layer structure).
+    """
     if name in PVNET_NAMES:
+        kwargs.pop("decoder_params", None)
         return PVNetModel(
             ver_dim=ver_dim, seg_dim=seg_dim, base_model=base_model, output_labelmap=output_labelmap, **kwargs
         )
     if name not in MODEL_SPECS:
         raise ValueError(f"No such model `{name}`, available models: {sorted(MODEL_SPECS) + list(PVNET_NAMES)}")
+    spec = MODEL_SPECS[name]
+    decoder_params = kwargs.pop("decoder_params", None)
+    if decoder_params is not None:
+        if name != "casapose_custom":
+            raise ValueError("decoder_params is only configurable for `casapose_custom`")
+        # Generic-builder semantics: shared convs are reused WITHOUT the
+        # class mask in decoder 2 (ref casapose.py:229-230).
+        spec = VariantSpec(decoder_params=parse_decoder_params(decoder_params), shared_reuse_with_mask=False)
     return CASAPoseModel(
-        spec=MODEL_SPECS[name],
+        spec=spec,
         ver_dim=ver_dim,
         seg_dim=seg_dim,
         base_model=base_model,

@@ -78,7 +78,11 @@ def build_model_from_opt(opt, no_objects):
         ver_dim *= no_objects
     if opt.estimate_confidence:
         ver_dim += opt.no_points
-    return get_model(opt.modelname, ver_dim=ver_dim, seg_dim=1 + no_objects, base_model=opt.backbonename)
+    kwargs = {}
+    custom = getattr(opt, "custom_decoder_params", None)
+    if custom and opt.modelname == "casapose_custom":
+        kwargs["decoder_params"] = custom
+    return get_model(opt.modelname, ver_dim=ver_dim, seg_dim=1 + no_objects, base_model=opt.backbonename, **kwargs)
 
 
 def init_model(model, imagesize, train_vectors_with_ground_truth, seed=0):

@@ -59,6 +59,12 @@ def build_parser():
     parser.add_argument("--max_keypoint_pixel_error", type=float, default=25.0, help="reprojection errors above this are downweighted")
 
     parser.add_argument("--object", default=None, help="which object in the dataset is of interest")
+    parser.add_argument(
+        "--custom_decoder_params", default=None,
+        help="casapose_custom per-layer decoder wiring: 5 comma-separated 5-bit groups "
+        "'wc pc gu bu rc' (weighted CLADE, partial conv, guided ups, bilinear ups, reuse conv); "
+        "e.g. the gcu5 wiring is 11000,11100,11100,11100,11000",
+    )
     parser.add_argument("--no_points", type=int, default=9, help="number of keypoints to find")
 
     parser.add_argument("--workers", type=int, default=1, help="number of data loading workers")

@@ -136,6 +136,52 @@ def test_forward_parity_gt_seg_input(oracle_dir):
     assert d[..., meta["seg_dim"] :].max() < 5e-2
 
 
+def test_casapose_custom_decoder_params_parity(oracle_dir):
+    """casapose_custom with non-default per-layer wiring matches the
+    reference's generic CASAPose(layer_params, ...) builder, and differs
+    from gcu5 (VERDICT round-1 item 7)."""
+    from functools import partial
+
+    import jax
+
+    from casapose_tpu.core.checkpoint import import_keras_h5
+    from casapose_tpu.models.registry import get_model
+
+    # Not the gcu5 wiring: CLADE everywhere, partial conv only on layers
+    # 2-3, bilinear guided upsampling, no plain guided ups on layer 3.
+    wiring = "10000,11100,11110,10010,10000"
+    out = os.path.join(str(oracle_dir), "custom")
+    if not os.path.exists(os.path.join(out, "fixture.npz")):
+        _run_oracle(
+            ["forward", "--model", "casapose_custom", "--decoder-params", wiring,
+             "--height", "64", "--width", "64", "--objects", "4", "--points", "9"],
+            out,
+        )
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    fx = np.load(os.path.join(out, "fixture.npz"))
+
+    model = get_model("casapose_custom", ver_dim=meta["ver_dim"], seg_dim=meta["seg_dim"], decoder_params=wiring)
+    x = fx["input"]
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
+    variables, loaded, skipped = import_keras_h5(os.path.join(out, "weights.h5"), variables)
+    assert skipped == [], f"unmapped: {skipped}"
+    assert loaded == meta["n_weights"]
+    ours = np.asarray(jax.jit(partial(model.apply, train=False))(variables, x))
+    d = np.abs(ours - fx["output"])
+    sd = meta["seg_dim"]
+    assert d[..., :sd].max() < 2e-3
+    assert d[..., sd:].mean() < 1e-3 and d[..., sd:].max() < 5e-2
+
+    # Distinguishable from gcu5: identical parameter names (the layer
+    # naming scheme is shared) but different wiring — same weights through
+    # the gcu5 graph give a different vertex output.
+    gcu5 = get_model("casapose_c_gcu5", ver_dim=meta["ver_dim"], seg_dim=meta["seg_dim"])
+    v5 = jax.jit(partial(gcu5.init, train=False))(jax.random.PRNGKey(0), x)
+    v5, _, _ = import_keras_h5(os.path.join(out, "weights.h5"), v5)
+    gcu5_out = np.asarray(jax.jit(partial(gcu5.apply, train=False))(v5, x))
+    assert np.abs(gcu5_out[..., sd:] - ours[..., sd:]).max() > 0.1
+
+
 def test_imagenet_backbone_import(oracle_dir):
     """Backbone-only h5 (qubvel ImageNet layout) initializes our backbone.
 

@@ -132,7 +132,6 @@ def cmd_forward(args):
     tf.random.set_seed(0)
     ver_dim = 2 * args.points + (args.points if args.confidence else 0)
     seg_dim = 1 + args.objects
-    ctor = Classifiers.get(args.model)
     kw = dict(
         ver_dim=ver_dim,
         seg_dim=seg_dim,
@@ -144,7 +143,18 @@ def cmd_forward(args):
         kw["input_segmentation_shape"] = (args.height, args.width, seg_dim)
     else:
         kw["input_segmentation_shape"] = None
-    net = ctor(**kw)
+    if args.decoder_params:
+        # Drive the generic CASAPose builder with custom per-layer wiring
+        # (casapose.py:145; what `casapose_custom` exposes for re-config).
+        from casapose.pose_models.models import casapose as ref_casapose
+
+        layer_params = [
+            ref_casapose.DecoderParams(*(c == "1" for c in g))
+            for g in args.decoder_params.split(",")
+        ]
+        net = ref_casapose.CASAPose(layer_params, **kw, **Classifiers.get_kwargs())
+    else:
+        net = Classifiers.get(args.model)(**kw)
     _seed_weights(net)
 
     os.makedirs(args.out, exist_ok=True)
@@ -291,6 +301,7 @@ def main():
     f.add_argument("--no-confidence", dest="confidence", action="store_false")
     f.add_argument("--gt-seg-input", action="store_true")
     f.add_argument("--taps", action="store_true")
+    f.add_argument("--decoder-params", default=None, help="5 comma-separated 5-bit groups 'wc pc gu bu rc'")
     f.set_defaults(func=cmd_forward)
 
     b = sub.add_parser("backbone")
