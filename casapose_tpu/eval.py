@@ -117,14 +117,16 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
         losses = composite_loss(
             output_seg, target_seg, output_dirs, target_dirs, target_vertex, loss_weights, kp_loss=kp_loss
         )
-        _, object_loss_values = proxy_voting_dist(
+        proxy_dist, object_loss_values = proxy_voting_dist(
             output_dirs,
             target_vertex,
             vertex_one_hot_weights=target_seg[:, :, :, 1:],
             vertex_weights=target_seg[:, :, :, 0:1],
             invert_weights=True,
         )
+        extra = {"proxy_dist": proxy_dist} if opt.save_eval_batches else {}
         return {
+            **extra,
             "losses": jnp.stack(losses),
             "pose_stats": pose_stats,
             "proxy_per_object": object_loss_values,
@@ -137,6 +139,15 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
         }
 
     return step
+
+
+def _host_prepare(batch, seg_dim, opt):
+    """Normalized image + one-hot target seg for host-side visual dumps."""
+    img, tseg = prepare_device_batch(
+        jnp.asarray(batch["img"]), jnp.asarray(batch["seg"]), seg_dim,
+        grayscale_to_rgb=not opt.color_dataset,
+    )
+    return np.asarray(img), np.asarray(tseg)
 
 
 def run_evaluation(opt):
@@ -286,8 +297,14 @@ def run_evaluation(opt):
                 time_needed=dt,  # per-image step time (BOP csv time column)
             )
         if opt.save_eval_batches:
-            from casapose_tpu.utils.visualization import save_eval_batch
+            from casapose_tpu.utils.visualization import (
+                save_eval_batch,
+                save_mask_by_proxy_loss,
+                save_pose_comparison,
+                save_proxy_error_maps,
+            )
 
+            visual_root = os.path.join(opt.evalf, "visual_batch_eval_mask")
             save_eval_batch(
                 batch,
                 np.asarray(out["output_seg"]),
@@ -297,11 +314,32 @@ def run_evaluation(opt):
                 np.asarray(out["estimated_points"]),
                 no_objects,
                 opt.no_points,
-                path_out=os.path.join(opt.evalf, "visual_batch_eval_mask"),
+                path_out=visual_root,
                 confidence=np.asarray(out["confidence"]),
                 add_correct=ps[1],
                 batch_idx=batch_idx,
             )
+            # Per-image folder like the reference (dataset_utils.py:341-345).
+            raw_id = np.asarray(batch["image_id"]).reshape(-1)[0]
+            img_name = raw_id.decode("utf-8") if isinstance(raw_id, bytes) else str(raw_id)
+            img_dir = os.path.join(visual_root, img_name)
+            img0, tseg0 = _host_prepare(batch, 1 + no_objects, opt)
+            save_pose_comparison(
+                img0[0],
+                np.asarray(out["estimated_poses"])[0],
+                batch["poses_gt"][0],
+                batch["cuboid3d"][0],
+                batch["keypoints3d"][0],
+                batch["camera"][0],
+                batch["offsets"][0],
+                path_out=img_dir,
+                add_correct=ps[1],
+                draw_reprojection=True,
+            )
+            save_proxy_error_maps(
+                np.asarray(out["proxy_dist"])[0], tseg0[0], img_dir, no_features=opt.no_points
+            )
+            save_mask_by_proxy_loss(np.asarray(out["proxy_per_object"])[0], tseg0[0], img_dir)
 
     test_loss /= max(int(test_batches), 1)
     with np.errstate(divide="ignore", invalid="ignore"):
