@@ -1,0 +1,140 @@
+"""BOP -> NDDS converter round trip: synthetic BOP scene -> converter ->
+VectorfieldDataset loads it and keypoints project consistently.
+
+VERDICT round-1 item 8.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+from scipy.spatial.transform import Rotation
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "util_scripts"))
+
+K = np.array([[320.0, 0, 160.0], [0, 320.0, 120.0], [0, 0, 1.0]])
+W, H = 320, 240
+OBJ_IDS = [1, 2]
+
+
+def _write_ply(path, verts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\nproperty float x\nproperty float y\nproperty float z\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+
+
+def _make_bop_dataset(root):
+    rng = np.random.default_rng(0)
+    models = os.path.join(root, "models")
+    os.makedirs(models, exist_ok=True)
+    info = {}
+    for oid in OBJ_IDS:
+        verts = rng.uniform(-30, 30, (60, 3))
+        _write_ply(os.path.join(models, f"obj_{oid:06d}.ply"), verts)
+        _write_ply(os.path.join(models, f"obj_{oid:06d}_keypoints.ply"), rng.uniform(-25, 25, (9, 3)))
+        info[str(oid)] = {"diameter": 80.0}
+    with open(os.path.join(models, "models_info.json"), "w") as f:
+        json.dump(info, f)
+
+    scene = os.path.join(root, "train_pbr", "000000")
+    os.makedirs(os.path.join(scene, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "mask_visib"), exist_ok=True)
+    cameras, gts, gt_infos = {}, {}, {}
+    poses = {}
+    for img_i in range(2):
+        cameras[str(img_i)] = {"cam_K": K.reshape(-1).tolist(), "depth_scale": 0.1}
+        objs, infos = [], []
+        for j, oid in enumerate(OBJ_IDS):
+            R = Rotation.random(random_state=img_i * 7 + j).as_matrix()
+            t = [20.0 * (j - 0.5), 5.0, 600.0]  # mm, BOP convention
+            poses[(img_i, oid)] = (R, np.asarray(t))
+            objs.append({"obj_id": oid, "cam_R_m2c": R.reshape(-1).tolist(), "cam_t_m2c": t})
+            infos.append(
+                {"bbox_obj": [10, 10, 50, 50], "bbox_visib": [10, 10, 50, 50], "px_count_all": 900,
+                 "px_count_valid": 900, "px_count_visib": 850, "visib_fract": 0.95}
+            )
+            mask = np.zeros((H, W), np.uint8)
+            mask[30 + 40 * j : 60 + 40 * j, 40 + 60 * j : 90 + 60 * j] = 255
+            Image.fromarray(mask).save(os.path.join(scene, "mask_visib", f"{img_i:06d}_{j:06d}.png"))
+        gts[str(img_i)] = objs
+        gt_infos[str(img_i)] = infos
+        Image.fromarray(rng.integers(0, 255, (H, W, 3)).astype(np.uint8)).save(
+            os.path.join(scene, "rgb", f"{img_i:06d}.png")
+        )
+    for name, data in [("scene_camera.json", cameras), ("scene_gt.json", gts), ("scene_gt_info.json", gt_infos)]:
+        with open(os.path.join(scene, name), "w") as f:
+            json.dump(data, f)
+    return poses
+
+
+def test_convert_and_load_round_trip(tmp_path):
+    from dataset_converter import generate_data
+
+    src = str(tmp_path / "bop")
+    dst = str(tmp_path / "ndds")
+    os.makedirs(src)
+    poses = _make_bop_dataset(src)
+    settings = {"width": W, "height": H, "filetype_in": "png", "mask": "reuse", "copy_meshes": True}
+    generate_data(src, dst, settings)
+
+    rgb = os.path.join(dst, "train_pbr", "000000", "rgb")
+    for required in ["_camera_settings.json", "_object_settings.json", "000000.json", "000000.seg.png",
+                     "000000.png", "000001.json"]:
+        assert os.path.exists(os.path.join(rgb, required)), required
+    # meshes copied into per-object layout + models_info
+    assert os.path.exists(os.path.join(dst, "models", "obj_000001", "obj_000001.ply"))
+    assert os.path.exists(os.path.join(dst, "models", "obj_000001", "obj_000001_keypoints.ply"))
+    assert os.path.exists(os.path.join(dst, "models", "models_info.json"))
+
+    # GT json: keypoints_2d must equal the projection of the keypoint PLY
+    # through the BOP pose.
+    from casapose_tpu.data.mesh import load_ply_vertices
+
+    with open(os.path.join(rgb, "000000.json")) as f:
+        gt = json.load(f)
+    assert [o["class"] for o in gt["objects"]] == ["obj_000001", "obj_000002"]
+    for j, obj in enumerate(gt["objects"]):
+        oid = OBJ_IDS[j]
+        R, t = poses[(0, oid)]
+        kps = load_ply_vertices(os.path.join(src, "models", f"obj_{oid:06d}_keypoints.ply"))
+        cam = kps @ R.T + t
+        uv = cam @ K.T
+        expected = uv[:, :2] / uv[:, 2:]
+        np.testing.assert_allclose(np.asarray(obj["keypoints_2d"]), expected, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(obj["keypoints_3d"]), cam, atol=1e-6)
+        q = np.asarray(obj["quaternion_xyzw"])
+        np.testing.assert_allclose(Rotation.from_quat(q).as_matrix(), R, atol=1e-6)
+
+    # merged mask carries the object ids
+    seg = np.asarray(Image.open(os.path.join(rgb, "000000.seg.png")))
+    assert set(np.unique(seg)) == {0, 1, 2}
+
+    # the NDDS loader consumes the converted tree
+    from casapose_tpu.data.ndds import VectorfieldDataset
+
+    ds = VectorfieldDataset(
+        root=os.path.join(dst, "train_pbr"),
+        path_meshes=os.path.join(dst, "models"),
+        objectsofinterest=["obj_000001", "obj_000002"],
+        no_points=9,
+        random_crop=False,
+        random_translation=(0, 0),
+        random_rotation=0,
+        visibility_filter=False,
+    )
+    assert len(ds) == 2
+    assert set(ds.meshes.keys()) == {"obj_000001", "obj_000002"}
+
+    it, n_batches = ds.generate_dataset(1, 1, 1, [H, W], 1.0, 1, 2, shuffle=False, seed=0)
+    assert n_batches == 2
+    batch = it.get_next()
+    it.close()
+    # loader keypoints2d are (y, x)-flipped; un-flip and compare to the
+    # converter's projections for image 0
+    kp2d = np.asarray(batch["keypoints2d"])[0, :, 0, :, ::-1]
+    for j, obj in enumerate(gt["objects"]):
+        np.testing.assert_allclose(kp2d[j], np.asarray(obj["keypoints_2d"]), atol=1e-3)

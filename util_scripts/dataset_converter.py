@@ -1,22 +1,40 @@
 #!/usr/bin/env python
 """BOP -> NDDS dataset conversion (offline tooling).
 
-Rebuild of the reference's util_scripts/dataset_converter.py without the
-pyrender/trimesh dependencies: parses BOP ``scene_gt / scene_camera /
-scene_gt_info`` JSON, writes per-image NDDS JSON (projected keypoints,
-cuboids, poses as xyzw quaternions), ``_camera_settings.json`` /
-``_object_settings.json``, and segmentation masks merged from the BOP
-``mask_visib`` images ("reuse" mode — the mode every shipped prepare_data
-path uses; depth-rendered masks would need an offline renderer and are not
-implemented).
+Produces the NDDS-style trees ``VectorfieldDataset`` consumes from a
+BOP-format dataset: per-image GT JSON (projected keypoints / cuboids, poses
+as xyzw quaternions, pixel counts), ``_camera_settings.json`` /
+``_object_settings.json`` per scene, and integer segmentation masks merged
+from the BOP ``mask_visib`` images ("reuse" mode — the mode every shipped
+prepare_data path uses; depth-rendered masks would need an offline renderer
+and are not provided).
+
+Covers the capability of the reference's util_scripts/dataset_converter.py
+(BOP parsing :278-326, NDDS json :147-212, settings :98-144, masks :51-61)
+with this module's own pipeline structure:
+
+    MeshCatalog      id -> keypoints/OBB/fixed-transform records,
+                     usage counting, settings + mesh copying
+    load_scene_tables   one merged per-image record table from the three
+                        BOP jsons (scene_camera / scene_gt / scene_gt_info)
+    convert_scene    image loop: copy rgb, write GT json + merged mask
+    convert_dataset  walk every scene dir (any folder containing rgb/)
+
+The JSON field names on both sides are fixed format contracts (BOP spec and
+the NDDS schema the loader parses) and therefore identical to the
+reference's output by construction. Round-trip tested in
+tests/test_dataset_converter.py (synthetic BOP scene -> converter ->
+VectorfieldDataset -> keypoint projection consistency).
 """
 
+import dataclasses
 import glob
 import json
 import os
 import re
 import sys
 from shutil import copyfile
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
@@ -32,114 +50,165 @@ from casapose_tpu.pose.geometry import (  # noqa: E402
 )
 
 
+@dataclasses.dataclass
+class ConvertOptions:
+    """Conversion knobs (the reference passes these as a settings dict)."""
+
+    width: int = 640
+    height: int = 480
+    filetype_in: str = "png"
+    mask: str = "reuse"  # "reuse" merges BOP mask_visib; "render" unsupported
+    copy_meshes: bool = False
+
+    @classmethod
+    def from_settings(cls, settings: Dict) -> "ConvertOptions":
+        return cls(**{f.name: settings[f.name] for f in dataclasses.fields(cls) if f.name in settings})
+
+
 def _oriented_bbox_corners(vertices):
-    """8 corners of the PCA-oriented bounding box (trimesh's
-    bounding_box_oriented analogue, sufficient for visualization cuboids)."""
+    """8 corners of the PCA-oriented bounding box (replaces trimesh's
+    bounding_box_oriented; used only for visualization cuboids)."""
     v = np.asarray(vertices, np.float64)
     c = v.mean(axis=0)
     centered = v - c
     _, _, Vt = np.linalg.svd(centered, full_matrices=False)
     proj = centered @ Vt.T
     lo, hi = proj.min(axis=0), proj.max(axis=0)
-    corners = []
-    for x in (lo[0], hi[0]):
-        for y in (lo[1], hi[1]):
-            for z in (lo[2], hi[2]):
-                corners.append([x, y, z])
+    corners = [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])]
     return np.asarray(corners) @ Vt + c
 
 
-def get_cam_matrix_bop(info):
-    cam = np.eye(3)
-    cam[0][0] = info["cam_K"][0]
-    cam[1][1] = info["cam_K"][4]
-    cam[0][2] = info["cam_K"][2]
-    cam[1][2] = info["cam_K"][5]
-    return cam
+class MeshCatalog:
+    """Object-model registry: per-id keypoints, oriented box, usage counts.
 
+    Loads ``<id>.ply`` + ``<id>_keypoints.ply`` pairs from a BOP models
+    folder, optionally copying them (plus models_info.json) into the
+    per-object layout the NDDS loader expects
+    (``<out>/<name>/<name>{,_keypoints}.ply``).
+    """
 
-def load_json_info(files):
-    cameras, gts, gt_infos = {}, {}, {}
-    for file in files:
-        name = os.path.basename(file)
-        if name == "scene_gt.json":
-            with open(file) as f:
-                gts = json.load(f)
-        elif name == "scene_camera.json":
-            with open(file) as f:
-                cameras = json.load(f)
-        elif name == "scene_gt_info.json":
-            with open(file) as f:
-                gt_infos = json.load(f)
+    def __init__(self):
+        self.entries: Dict[int, Dict] = {}
 
-    cameras_out = {int(k): {"cam_mat": get_cam_matrix_bop(v)} for k, v in cameras.items()}
-    gts_out = {}
-    for k, objs in gts.items():
-        rows = []
-        for obj_gt in objs:
-            r = obj_gt["cam_R_m2c"]
-            rows.append(
-                {
-                    "id": obj_gt["obj_id"],
-                    "t": obj_gt["cam_t_m2c"],
-                    "R": np.array(r, np.float64).reshape(3, 3),
-                }
-            )
-        gts_out[int(k)] = rows
-    for k, objs in gt_infos.items():
-        for i, obj_gt in enumerate(objs):
-            row = gts_out[int(k)][i]
-            row["bb"] = obj_gt["bbox_obj"]
-            row["bb_visib"] = obj_gt["bbox_visib"]
-            row["px_count_all"] = obj_gt["px_count_all"]
-            row["px_count_valid"] = obj_gt["px_count_valid"]
-            row["px_count_visib"] = obj_gt["px_count_visib"]
-            row["visib_fract"] = obj_gt["visib_fract"]
-    return cameras_out, gts_out
+    @classmethod
+    def from_bop_models(cls, path: str, out_path: str, copy_meshes: bool = False) -> "MeshCatalog":
+        cat = cls()
+        os.makedirs(out_path, exist_ok=True)
+        info_file = os.path.join(path, "models_info.json")
+        if not os.path.isfile(info_file):
+            return cat
+        kp_files = sorted(glob.glob(os.path.join(path, "*keypoints.ply")))
+        mesh_files = [m for m in sorted(glob.glob(os.path.join(path, "*.ply"))) if m not in kp_files]
+        if not mesh_files:
+            mesh_files = sorted(glob.glob(os.path.join(path, "*.obj")))
 
-
-def load_models_bop(path, path_root_out, copy_meshes=False):
-    os.makedirs(path_root_out, exist_ok=True)
-    info_file = os.path.join(path, "models_info.json")
-    if not os.path.isfile(info_file):
-        return {}
-    model_files = sorted(glob.glob(path + "/*.ply"))
-    kp_files = sorted(glob.glob(path + "/*keypoints.ply"))
-    model_files = [m for m in model_files if m not in kp_files]
-    if not model_files:
-        model_files = sorted(glob.glob(path + "/*.obj"))
-
-    meshes = {}
-    for model_file, kp_file in zip(model_files, kp_files):
-        name = os.path.splitext(os.path.basename(model_file))[0]
-        d_model = re.findall(r"\d+", name)
-        d_kp = re.findall(r"\d+", os.path.basename(kp_file))
-        if d_model and d_kp and int(d_model[0]) == int(d_kp[0]):
-            idx = int(d_model[0])
-            kps = load_mesh_vertices(kp_file)
-            verts = load_mesh_vertices(model_file)
-            meshes[idx] = {
+        by_id = {}
+        for f in kp_files:
+            digits = re.findall(r"\d+", os.path.basename(f))
+            if digits:
+                by_id[int(digits[0])] = f
+        for mesh_file in mesh_files:
+            name = os.path.splitext(os.path.basename(mesh_file))[0]
+            digits = re.findall(r"\d+", name)
+            if not digits or int(digits[0]) not in by_id:
+                continue
+            obj_id = int(digits[0])
+            kp_file = by_id[obj_id]
+            keypoints = load_mesh_vertices(kp_file)
+            vertices = load_mesh_vertices(mesh_file)
+            cat.entries[obj_id] = {
                 "name": name,
-                "id": idx,
-                "keypoints": kps,
-                "volume": _oriented_bbox_corners(verts),
-                "volume_size": (np.max(kps, 0) - np.min(kps, 0)).tolist(),
-                "center": ((np.max(kps, 0) + np.min(kps, 0)) / 2.0),
-                "counter": 0,
+                "id": obj_id,
+                "keypoints": keypoints,
+                "volume": _oriented_bbox_corners(vertices),
+                "volume_size": (np.max(keypoints, 0) - np.min(keypoints, 0)).tolist(),
+                "center": (np.max(keypoints, 0) + np.min(keypoints, 0)) / 2.0,
+                "used": 0,
                 "fixed_model_transform": np.eye(4),
             }
+            if copy_meshes:
+                dst = os.path.join(out_path, name)
+                os.makedirs(dst, exist_ok=True)
+                copyfile(mesh_file, os.path.join(dst, name + ".ply"))
+                copyfile(kp_file, os.path.join(dst, name + "_keypoints.ply"))
         if copy_meshes:
-            out_dir = os.path.join(path_root_out, name)
-            os.makedirs(out_dir, exist_ok=True)
-            copyfile(model_file, os.path.join(out_dir, name + ".ply"))
-            copyfile(kp_file, os.path.join(out_dir, name + "_keypoints.ply"))
-    if copy_meshes and os.path.isfile(info_file):
-        copyfile(info_file, os.path.join(path_root_out, "models_info.json"))
-    return meshes
+            copyfile(info_file, os.path.join(out_path, "models_info.json"))
+        return cat
+
+    def reset_usage(self):
+        for e in self.entries.values():
+            e["used"] = 0
+
+    def write_object_settings(self, path: str):
+        """NDDS ``_object_settings.json`` for the objects seen in a scene."""
+        used = [e for e in self.entries.values() if e["used"] > 0]
+        data = {
+            "exported_object_classes": [e["name"] for e in used],
+            "exported_objects": [
+                {
+                    "class": e["name"],
+                    "segmentation_class_id": e["id"],
+                    "segmentation_instance_id": 0,
+                    "fixed_model_transform": np.asarray(e["fixed_model_transform"]).tolist(),
+                    "cuboid_dimensions": list(e["volume_size"]),
+                }
+                for e in used
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
 
 
-def write_camera_setting(path, name, camera_matrix, width, height):
-    fx, fy = camera_matrix[0][0], camera_matrix[1][1]
+def _intrinsics_from_bop(cam_K: List[float]) -> np.ndarray:
+    K = np.eye(3)
+    K[0, 0], K[1, 1] = cam_K[0], cam_K[4]
+    K[0, 2], K[1, 2] = cam_K[2], cam_K[5]
+    return K
+
+
+def load_scene_tables(scene_dir: str) -> Dict[int, Dict]:
+    """Merge scene_camera / scene_gt / scene_gt_info into one table.
+
+    Returns {image_index: {"cam_mat": K, "objects": [record, ...]}} where a
+    record carries id / R / t and, when gt_info is present, the bbox and
+    pixel-count statistics.
+    """
+
+    def read(name):
+        p = os.path.join(scene_dir, name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    cameras = read("scene_camera.json")
+    gts = read("scene_gt.json")
+    infos = read("scene_gt_info.json")
+
+    table: Dict[int, Dict] = {}
+    for key, cam in cameras.items():
+        table[int(key)] = {"cam_mat": _intrinsics_from_bop(cam["cam_K"]), "objects": []}
+    for key, objs in gts.items():
+        rows = table.setdefault(int(key), {"cam_mat": None, "objects": []})["objects"]
+        extra = infos.get(key, [{}] * len(objs))
+        for obj, inf in zip(objs, extra):
+            rec = {
+                "id": obj["obj_id"],
+                "t": obj["cam_t_m2c"],
+                "R": np.asarray(obj["cam_R_m2c"], np.float64).reshape(3, 3),
+            }
+            if inf:
+                rec["bb"] = inf["bbox_obj"]
+                rec["bb_visib"] = inf["bbox_visib"]
+                for k in ("px_count_all", "px_count_valid", "px_count_visib", "visib_fract"):
+                    rec[k] = inf[k]
+            rows.append(rec)
+    return table
+
+
+def write_camera_settings(path: str, K: np.ndarray, width: int, height: int, name: str = "Viewpoint"):
+    """NDDS ``_camera_settings.json`` (the loader reads fx/fy/cx/cy)."""
+    fx, fy = K[0, 0], K[1, 1]
     data = {
         "camera_settings": [
             {
@@ -150,8 +219,8 @@ def write_camera_setting(path, name, camera_matrix, width, height):
                     "resY": height,
                     "fx": float(fx),
                     "fy": float(fy),
-                    "cx": float(camera_matrix[0][2]),
-                    "cy": float(camera_matrix[1][2]),
+                    "cx": float(K[0, 2]),
+                    "cy": float(K[1, 2]),
                     "s": 0,
                 },
                 "captured_image_size": {"width": width, "height": height},
@@ -162,160 +231,129 @@ def write_camera_setting(path, name, camera_matrix, width, height):
         json.dump(data, f, indent=2)
 
 
-def write_object_settings(path, meshes):
-    data = {"exported_object_classes": [], "exported_objects": []}
-    for mesh in meshes.values():
-        if mesh["counter"] > 0:
-            data["exported_object_classes"].append(mesh["name"])
-            data["exported_objects"].append(
-                {
-                    "class": mesh["name"],
-                    "segmentation_class_id": mesh["id"],
-                    "segmentation_instance_id": 0,
-                    "fixed_model_transform": np.asarray(mesh["fixed_model_transform"]).tolist(),
-                    "cuboid_dimensions": list(mesh["volume_size"]),
-                }
-            )
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2)
+def _ndds_object_record(rec: Dict, mesh: Dict, K: np.ndarray) -> Dict:
+    """One object's NDDS GT entry: pose + projected keypoints/cuboid."""
+    pose = create_transformation_matrix_np(rec["R"], rec["t"])
+    center_2d, center_3d = project_np(mesh["center"][None], K, pose[0:3])
+    cuboid_2d, cuboid_3d = project_np(mesh["volume"], K, pose[0:3])
+    kp_2d, kp_3d = project_np(mesh["keypoints"], K, pose[0:3])
+    bb = rec.get("bb", [0, 0, 0, 0])
+    out = {
+        "class": mesh["name"],
+        "instance_id": 0,
+        "visibility": rec.get("visib_fract", 1),
+        "location": list(rec["t"]),
+        "quaternion_xyzw": matrix_to_quaternion_np(rec["R"]).tolist(),
+        "pose_transform": np.transpose(pose).tolist(),
+        "cuboid_centroid": center_3d[0].tolist(),
+        "projected_cuboid_centroid": center_2d[0].tolist(),
+        "bounding_box": {"top_left": [bb[0], bb[1]], "bottom_right": [bb[0] + bb[2], bb[1] + bb[3]]},
+        "cuboid": cuboid_3d.tolist(),
+        "projected_cuboid": cuboid_2d.tolist(),
+        "keypoints_2d": kp_2d.tolist(),
+        "keypoints_3d": kp_3d.tolist(),
+    }
+    for key in ("px_count_all", "px_count_valid", "px_count_visib"):
+        if key in rec:
+            out[key] = rec[key]
+    if "bb_visib" in rec:
+        bbv = rec["bb_visib"]
+        out["bounding_box_visible"] = {
+            "top_left": [bbv[0], bbv[1]],
+            "bottom_right": [bbv[0] + bbv[2], bbv[1] + bbv[3]],
+        }
+    return out
 
 
-def create_ndds_json(path, camera_matrix, gt, meshes):
+def write_image_gt(path: str, records: List[Dict], catalog: MeshCatalog, K: np.ndarray):
+    """Per-image NDDS JSON; counts catalog usage for _object_settings."""
+    objects = []
+    for rec in records:
+        mesh = catalog.entries.get(rec["id"])
+        if mesh is None:
+            continue
+        mesh["used"] += 1
+        objects.append(_ndds_object_record(rec, mesh, K))
     data = {
         "camera_data": {
             "location_worldframe": [0.0, 0.0, 0.0],
             "quaternion_xyzw_worldframe": [0.0, 0.0, 0.0, 1.0],
         },
-        "objects": [],
+        "objects": objects,
     }
-    for mesh_gt in gt:
-        object_id = mesh_gt["id"]
-        if object_id not in meshes:
-            continue
-        t = mesh_gt["t"]
-        R = mesh_gt["R"]
-        bb = mesh_gt.get("bb", [0, 0, 0, 0])
-        pose = create_transformation_matrix_np(R, t)
-        meshes[object_id]["counter"] += 1
-        center = np.expand_dims(meshes[object_id]["center"], 0)
-        center_2d, center_3d = project_np(center, camera_matrix, pose[0:3])
-        cuboid_2d, cuboid_3d = project_np(meshes[object_id]["volume"], camera_matrix, pose[0:3])
-        kp_2d, kp_3d = project_np(meshes[object_id]["keypoints"], camera_matrix, pose[0:3])
-        info = {
-            "class": meshes[object_id]["name"],
-            "instance_id": 0,
-            "visibility": mesh_gt.get("visib_fract", 1),
-            "location": list(t),
-            "quaternion_xyzw": matrix_to_quaternion_np(R).tolist(),
-            "pose_transform": np.transpose(pose).tolist(),
-            "cuboid_centroid": center_3d[0].tolist(),
-            "projected_cuboid_centroid": center_2d[0].tolist(),
-            "bounding_box": {
-                "top_left": [bb[0], bb[1]],
-                "bottom_right": [bb[0] + bb[2], bb[1] + bb[3]],
-            },
-            "cuboid": cuboid_3d.tolist(),
-            "projected_cuboid": cuboid_2d.tolist(),
-            "keypoints_2d": kp_2d.tolist(),
-            "keypoints_3d": kp_3d.tolist(),
-        }
-        for key in ("px_count_all", "px_count_valid", "px_count_visib"):
-            if key in mesh_gt:
-                info[key] = mesh_gt[key]
-        if "bb_visib" in mesh_gt:
-            bbv = mesh_gt["bb_visib"]
-            info["bounding_box_visible"] = {
-                "top_left": [bbv[0], bbv[1]],
-                "bottom_right": [bbv[0] + bbv[2], bbv[1] + bbv[3]],
-            }
-        data["objects"].append(info)
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
-    return meshes
 
 
-def create_bop_mask(path, path_out, gt, digits, width, height, filetype):
-    mask = np.zeros([height, width], np.uint8)
-    path = path.replace("rgb", "mask_visib")
-    for idx, mesh_gt in enumerate(gt):
-        path_new = path.replace(digits + "." + filetype, digits + "_" + str(idx).zfill(6) + ".png")
-        arr = np.array(Image.open(path_new))
-        mask[arr == 255] = mesh_gt["id"]
-    Image.fromarray(mask).save(path_out)
+def merge_visib_masks(mask_dir: str, stem: str, records: List[Dict], width: int, height: int, out_path: str):
+    """BOP per-object ``mask_visib`` PNGs -> one integer-id mask image."""
+    merged = np.zeros([height, width], np.uint8)
+    for idx, rec in enumerate(records):
+        p = os.path.join(mask_dir, f"{stem}_{idx:06d}.png")
+        arr = np.asarray(Image.open(p))
+        merged[arr == 255] = rec["id"]
+    Image.fromarray(merged).save(out_path)
 
 
-def parse_bop(root, root_out, meshes, settings):
-    def update_bop_files(path, info, gt, meshes):
-        filetype = "." + settings["filetype_in"]
-        files = sorted(glob.glob(path + "/[0-9][0-9][0-9][0-9][0-9][0-9]" + filetype))
-        if files:
-            os.makedirs(path.replace(root, root_out), exist_ok=True)
-        for filepath in files:
-            digits = re.findall(r"\d+", os.path.basename(filepath))
-            if not digits:
-                continue
-            filepath_out = filepath.replace(root, root_out)
-            if filepath_out != filepath:
-                copyfile(filepath, filepath_out)
-            idx = int(digits[0])
-            camera_matrix = info[idx]["cam_mat"]
-            meshes = create_ndds_json(filepath_out.replace(filetype, ".json"), camera_matrix, gt[idx], meshes)
-            if settings["mask"] == "reuse":
-                create_bop_mask(
-                    filepath,
-                    filepath_out.replace(filetype, ".seg.png"),
-                    gt[idx],
-                    digits[0],
-                    settings["width"],
-                    settings["height"],
-                    settings["filetype_in"],
-                )
-            elif settings["mask"] == "render":
-                raise NotImplementedError(
-                    "render-mode masks need an offline renderer; all shipped dataset flows use 'reuse'"
-                )
-        return meshes
+def convert_scene(scene_dir: str, out_dir: str, catalog: MeshCatalog, opts: ConvertOptions):
+    """Convert one BOP scene (a folder containing rgb/ + the GT jsons)."""
+    rgb_in = os.path.join(scene_dir, "rgb")
+    rgb_out = os.path.join(out_dir, "rgb")
+    os.makedirs(rgb_out, exist_ok=True)
+    catalog.reset_usage()
+    table = load_scene_tables(scene_dir)
+    if not table:
+        return
+    first_K = next(v["cam_mat"] for v in table.values() if v["cam_mat"] is not None)
+    write_camera_settings(os.path.join(rgb_out, "_camera_settings.json"), first_K, opts.width, opts.height)
 
-    def explore(path, meshes):
-        if not os.path.isdir(path):
-            return
-        folder_names = [o for o in os.listdir(path) if os.path.isdir(os.path.join(path, o))]
-        if "rgb" in folder_names:
-            path_out = path.replace(root, root_out)
-            os.makedirs(os.path.join(path_out, "rgb"), exist_ok=True)
-            for mesh in meshes.values():
-                mesh["counter"] = 0
-            files = sorted(glob.glob(path + "/*.json"))
-            info, gt = load_json_info(files)
-            camera_matrix = next(iter(info.values()))["cam_mat"]
-            write_camera_setting(
-                os.path.join(path_out, "rgb", "_camera_settings.json"),
-                "Viewpoint",
-                camera_matrix,
-                settings["width"],
-                settings["height"],
+    ext = "." + opts.filetype_in
+    for img_path in sorted(glob.glob(os.path.join(rgb_in, "[0-9]" * 6 + ext))):
+        stem = os.path.splitext(os.path.basename(img_path))[0]
+        idx = int(stem)
+        if idx not in table:
+            continue
+        entry = table[idx]
+        out_img = os.path.join(rgb_out, os.path.basename(img_path))
+        if os.path.abspath(out_img) != os.path.abspath(img_path):
+            copyfile(img_path, out_img)
+        write_image_gt(os.path.join(rgb_out, stem + ".json"), entry["objects"], catalog, entry["cam_mat"])
+        if opts.mask == "reuse":
+            merge_visib_masks(
+                os.path.join(scene_dir, "mask_visib"), stem, entry["objects"], opts.width, opts.height,
+                os.path.join(rgb_out, stem + ".seg.png"),
             )
-            update_bop_files(os.path.join(path, "rgb"), info, gt, meshes)
-            write_object_settings(os.path.join(path_out, "rgb", "_object_settings.json"), meshes)
-        else:
-            for folder in folder_names:
-                explore(os.path.join(path, folder), meshes)
-
-    os.makedirs(root_out, exist_ok=True)
-    explore(root, meshes)
+        elif opts.mask == "render":
+            raise NotImplementedError(
+                "render-mode masks need an offline renderer; all shipped dataset flows use 'reuse'"
+            )
+    catalog.write_object_settings(os.path.join(rgb_out, "_object_settings.json"))
 
 
-def update_data(path, path_out, meshes, settings):
-    os.makedirs(path_out, exist_ok=True)
-    for name in sorted(os.listdir(str(path))):
-        parse_bop(os.path.join(path, name), os.path.join(path_out, name), meshes, settings)
+def iter_scene_dirs(root: str):
+    """Yield every directory under ``root`` that contains an rgb/ folder."""
+    for dirpath, dirnames, _ in os.walk(root):
+        if "rgb" in dirnames:
+            yield dirpath
+            dirnames.remove("rgb")
+
+
+def convert_dataset(images_root: str, images_out: str, catalog: MeshCatalog, opts: ConvertOptions):
+    os.makedirs(images_out, exist_ok=True)
+    for scene_dir in sorted(iter_scene_dirs(images_root)):
+        rel = os.path.relpath(scene_dir, images_root)
+        convert_scene(scene_dir, os.path.join(images_out, rel), catalog, opts)
 
 
 def generate_data(dataset_path, dataset_path_out, settings, model_folder="models", model_folder_out="models",
                   image_folder="train_pbr"):
-    path_models = os.path.join(dataset_path, model_folder)
-    path_models_out = os.path.join(dataset_path_out, model_folder_out)
-    path_images = os.path.join(dataset_path, image_folder)
-    path_images_out = os.path.join(dataset_path_out, image_folder)
-    meshes = load_models_bop(path_models, path_models_out, settings["copy_meshes"])
-    update_data(path_images, path_images_out, meshes, settings)
+    """settings-dict entry point (kept for prepare_data.py compatibility)."""
+    opts = ConvertOptions.from_settings(settings)
+    catalog = MeshCatalog.from_bop_models(
+        os.path.join(dataset_path, model_folder),
+        os.path.join(dataset_path_out, model_folder_out),
+        copy_meshes=opts.copy_meshes,
+    )
+    convert_dataset(
+        os.path.join(dataset_path, image_folder), os.path.join(dataset_path_out, image_folder), catalog, opts
+    )
