@@ -34,6 +34,7 @@ def main():
         backbonename = "resnet18"
         no_points = 9
         estimate_confidence = True
+        compute_dtype = os.environ.get("CASAPOSE_TRAIN_DTYPE", "float32")
 
     B = int(os.environ.get("CASAPOSE_TRAIN_BATCH", "8"))
     h = w = 448
@@ -84,15 +85,64 @@ def main():
     np.asarray(losses)
     print(f"train step compile+1: {time.perf_counter() - t0:.1f}s losses={np.asarray(losses)}", flush=True)
 
+    # Dispatch warmup: the first ~10 post-compile calls through the axon
+    # tunnel carry residual queue/rebind costs (measured 5-10x inflation);
+    # steady state only emerges after a full warmup loop.
+    for _ in range(10):
+        state, losses = step(state, dev_batch, rngk)
+    np.asarray(losses)
+
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = step(state, dev_batch, rngk)
-    # Synchronize via a PARAMETER fetch, not the scalar losses: scalar
-    # fetches through the axon tunnel cost ~1.3s and pollute timing.
-    np.asarray(jax.device_get(state.params["pv_final_conv_vertex"]["kernel"]))[0, 0, 0, 0]
+    np.asarray(losses)
     dt = (time.perf_counter() - t0) / iters
     print(f"train step: {dt * 1000:.1f}ms/step -> {B / dt:.1f} img/s", flush=True)
+
+    # Loader-in-the-loop: point CASAPOSE_TRAIN_DATA at an NDDS tree to feed
+    # the step from the threaded host pipeline instead of a static batch
+    # (quantifies the host-feed share of the step time).
+    data_root = os.environ.get("CASAPOSE_TRAIN_DATA")
+    if data_root:
+        from casapose_tpu.data.ndds import VectorfieldDataset
+        from casapose_tpu.data.pipeline import make_dataset
+
+        meshes = os.environ.get("CASAPOSE_TRAIN_MESHES", os.path.join(data_root, "..", "models"))
+        objects = sorted(os.listdir(meshes))
+        objects = [o_ for o_ in objects if o_.startswith("obj")]
+        ds = VectorfieldDataset(
+            root=data_root, path_meshes=meshes, objectsofinterest=objects, no_points=k,
+            color_input=True, random_crop=False, random_translation=(0, 0), random_rotation=0,
+        )
+        it, nb = make_dataset(ds, B, 1000, 4, [h, w], 1.0, 8, len(objects), shuffle=True, seed=0)
+
+        def fetch():
+            b = it.get_next()
+            b.pop("image_id", None)
+            return shard_batch(mesh, b)
+
+        # loader-only rate
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fetch()
+        loader_dt = (time.perf_counter() - t0) / iters
+        print(f"loader alone: {loader_dt * 1000:.1f}ms/batch -> {B / loader_dt:.1f} img/s", flush=True)
+
+        for _ in range(3):  # re-warm with loader-shaped batches
+            state, losses = step(state, fetch(), rngk)
+        np.asarray(losses)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = step(state, fetch(), rngk)
+        np.asarray(losses)
+        dt_l = (time.perf_counter() - t0) / iters
+        it.close()
+        print(
+            f"train step + loader: {dt_l * 1000:.1f}ms/step -> {B / dt_l:.1f} img/s "
+            f"(host-feed overhead {max(dt_l - dt, 0) * 1000:.1f}ms/step)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -33,6 +33,15 @@ from casapose_tpu.data.augment import augment_image
 
 
 def _decode_image(path, color):
+    # cv2 releases the GIL during decode, so the worker threads actually
+    # parallelize (PIL holds it: 8 threads decode at ~1x single-thread).
+    if cv2 is not None:
+        flag = cv2.IMREAD_COLOR if color else cv2.IMREAD_GRAYSCALE
+        img = cv2.imread(path, flag)
+        if img is not None:
+            if color:
+                return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            return img[..., None]
     img = Image.open(path)
     if color:
         img = img.convert("RGB")
@@ -42,6 +51,12 @@ def _decode_image(path, color):
 
 
 def _decode_seg(path):
+    if cv2 is not None:
+        arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if arr is not None:
+            if arr.ndim == 3:
+                arr = arr[..., 0]
+            return arr.astype(np.uint8)
     seg = Image.open(path)
     arr = np.asarray(seg)
     if arr.ndim == 3:

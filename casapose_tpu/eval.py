@@ -112,6 +112,7 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
                 evaluation_points=mesh_vertex_array,
                 object_points_3d_count=mesh_vertex_count,
                 min_num=1,
+                ransac_rounds=int(getattr(opt, "ransac_rounds", 20)),
             )
 
         losses = composite_loss(

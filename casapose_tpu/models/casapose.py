@@ -60,6 +60,10 @@ class VariantSpec:
     halfsize_trainable: bool = False  # True only for casapose_c (C1)
     decoder2_skip_connections: bool = True  # False for casapose_c_gcu5_sw1 (C8)
     shared_reuse_with_mask: bool = True  # hand-unrolled C6 semantics; False = generic-builder
+    # C10 re-applies the shared layer-1 conv WITH the mask in decoder 2
+    # (pose_models.py:1292: c1([x32s, x_mask8s])); every other shared
+    # variant reuses the unmasked decoder-1 output.
+    reuse_first_with_mask: bool = False
     pvnet: bool = False  # single fused decoder
 
 
@@ -165,7 +169,10 @@ class CASAPoseModel(nn.Module):
 
             if dp.reuse_conv:
                 if i == 0:
-                    h = shared_out_0  # reference reuses the unmasked output
+                    if spec.reuse_first_with_mask:
+                        h = shared_convs[0](inp, seg_masks[0])
+                    else:
+                        h = shared_out_0  # reference reuses the unmasked output
                 elif spec.shared_reuse_with_mask:
                     h = shared_convs[i](inp, seg_masks[i])
                 else:

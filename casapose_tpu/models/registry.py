@@ -78,7 +78,9 @@ MODEL_SPECS = {
         pc=(0, 1, 1, 1, 1), rc=(1, 0, 0, 0, 0), gu=True, decoder2_skip_connections=False
     ),
     "casapose_c_gcu4_bilat": _spec(pc=(1, 1, 1, 1, 0), gu=True, bu=True),  # Conditional9
-    "casapose_c_gcu4_sw2": _spec(pc=(0, 0, 1, 1, 0), rc=(1, 1, 0, 0, 0), gu=True),  # Conditional10
+    "casapose_c_gcu4_sw2": _spec(  # Conditional10: shared 1-2 (layer 1 re-applied WITH mask), partial 3-4
+        pc=(0, 0, 1, 1, 0), rc=(1, 1, 0, 0, 0), gu=True, reuse_first_with_mask=True
+    ),
 }
 
 PVNET_NAMES = ("pvnet", "pvnet_combined")

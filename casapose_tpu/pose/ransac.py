@@ -12,9 +12,11 @@ of that becomes masked fixed-size computation:
   * hypothesis generation samples candidate indices with a PRNG key;
   * inlier voting is a chunked [candidates x hypotheses] computation with
     no data-dependent shapes;
-  * the adaptive while-loop becomes a fixed round count (the reference's
-    own comment notes the confidence test "is almost always true in first
-    iteration", ransac_voting.py:346).
+  * the adaptive while-loop becomes a fixed-length ``lax.scan`` whose
+    updates are masked once the RANSAC confidence 1-(1-q^2)^N clears the
+    threshold — the same results as the reference's data-dependent exit
+    (ransac_voting.py:318-347) with static shapes; ``max_iter`` defaults
+    to the reference's 20 via the eval path's ``ransac_rounds``.
 
 Final refinement is the same inlier-weighted least squares with an
 invertibility guard.
@@ -48,7 +50,7 @@ def _select_candidates(mask, max_num, key):
     return jnp.stack([xs, ys], axis=1), valid, idx
 
 
-def _ransac_single(mask, vertex, key, round_hyp_num, inlier_thresh, max_iter, min_num, max_num):
+def _ransac_single(mask, vertex, key, round_hyp_num, inlier_thresh, max_iter, min_num, max_num, confidence=0.99):
     """RANSAC voting for one (image, class) pair.
 
     mask: [h, w] float; vertex: [h, w, vn, 2] (dy, dx) fields.
@@ -63,8 +65,9 @@ def _ransac_single(mask, vertex, key, round_hyp_num, inlier_thresh, max_iter, mi
     direct = vertex.reshape(-1, vn, 2)[idx][:, :, ::-1]  # (dy,dx) -> (dx,dy)
     direct = direct * valid[:, None, None]
 
-    def one_round(carry, key_r):
-        all_win_ratio, all_win_pts = carry
+    def one_round(carry, inputs):
+        all_win_ratio, all_win_pts, done = carry
+        key_r, round_idx = inputs
         # Sample pairs of candidate indices, biased to valid ones by
         # sampling from the valid-count prefix (top-k puts them first).
         valid_n = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
@@ -85,13 +88,24 @@ def _ransac_single(mask, vertex, key, round_hyp_num, inlier_thresh, max_iter, mi
         win_counts = jnp.max(counts, axis=0)
         win_pts = hyp[win_idx, jnp.arange(vn)]  # [vn, 2]
         win_ratio = win_counts / jnp.maximum(jnp.sum(valid), 1.0)
-        better = all_win_ratio < win_ratio
+        # Adaptive-confidence semantics (ransac_voting.py:318-347): once
+        # the RANSAC success probability 1-(1-q^2)^N clears ``confidence``,
+        # later rounds stop contributing — identical results to the
+        # reference's data-dependent loop exit, in fixed-shape form.
+        better = (all_win_ratio < win_ratio) & ~done
         all_win_pts = jnp.where(better[:, None], win_pts, all_win_pts)
         all_win_ratio = jnp.where(better, win_ratio, all_win_ratio)
-        return (all_win_ratio, all_win_pts), None
+        hyp_total = (round_idx + 1).astype(jnp.float32) * round_hyp_num
+        min_ratio = jnp.min(all_win_ratio)
+        done = done | ((1.0 - (1.0 - min_ratio**2.0) ** hyp_total) > confidence)
+        return (all_win_ratio, all_win_pts, done), None
 
     keys = jax.random.split(k_hyp, max_iter)
-    (ratios, win_pts), _ = lax.scan(one_round, (jnp.zeros(vn), jnp.zeros((vn, 2))), keys)
+    (ratios, win_pts, _), _ = lax.scan(
+        one_round,
+        (jnp.zeros(vn), jnp.zeros((vn, 2)), jnp.bool_(False)),
+        (keys, jnp.arange(max_iter)),
+    )
 
     # Inlier-weighted LS refinement.
     inlier = _inliers(coords, direct, valid, win_pts, inlier_thresh)  # [n, vn]
@@ -177,7 +191,9 @@ def ransac_voting_layer_all_masks(
     keys = jax.random.split(rng_key, b * oc).reshape(b, oc, 2)
 
     def per_image(m_img, v_img, keys_img):
-        fn = lambda m, k: _ransac_single(m, v_img, k, round_hyp_num, inlier_thresh, max_iter, min_num, max_num)
+        fn = lambda m, k: _ransac_single(
+            m, v_img, k, round_hyp_num, inlier_thresh, max_iter, min_num, max_num, confidence
+        )
         return jax.vmap(fn)(m_img.transpose(2, 0, 1), keys_img)
 
     return jax.vmap(per_image)(mask, vertex, keys)

@@ -82,6 +82,13 @@ def build_model_from_opt(opt, no_objects):
     custom = getattr(opt, "custom_decoder_params", None)
     if custom and opt.modelname == "casapose_custom":
         kwargs["decoder_params"] = custom
+    # bf16 compute policy: params/optimizer/losses stay f32; conv/BN
+    # activations run in bf16 (halves HBM activation traffic — the train
+    # step is bandwidth-bound, benchmarks/profile_train.py).
+    if getattr(opt, "compute_dtype", "float32") == "bfloat16":
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = jnp.bfloat16
     return get_model(opt.modelname, ver_dim=ver_dim, seg_dim=1 + no_objects, base_model=opt.backbonename, **kwargs)
 
 

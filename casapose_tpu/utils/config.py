@@ -43,6 +43,12 @@ def build_parser():
     parser.add_argument("--confidence_regularization", type=str2bool, default=False, help="loss regularization so the estimates do not get too small")
     parser.add_argument("--confidence_filter_estimates", type=str2bool, default=True, help="apply connected component analysis and choose largest")
     parser.add_argument(
+        "--ransac_rounds", type=int, default=20,
+        help="max hypothesis rounds (512 each) for RANSAC keypoint voting on the estimate_coords=0 "
+        "path; rounds after the adaptive confidence threshold stop contributing (reference "
+        "ransac_voting.py:318-347 semantics, default max_iter 20)",
+    )
+    parser.add_argument(
         "--cc_filter_downsample", type=int, default=4,
         help="resolution divisor for the connected-component instance filter (1 = exact full-resolution "
         "labeling, matching tfa.image.connected_components; 4 = OR-pooled quarter resolution, ~16x cheaper)",
@@ -70,6 +76,13 @@ def build_parser():
     parser.add_argument("--workers", type=int, default=1, help="number of data loading workers")
     parser.add_argument("--prefetch", type=int, default=0, help="size of prefetch buffer")
     parser.add_argument("--pretrained", type=str2bool, default=True, help="use imagenet pretrained backbone weights when available")
+    parser.add_argument(
+        "--compute_dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="network compute dtype (params, optimizer and losses stay float32). bfloat16 roughly "
+        "halves training step time on TPU; float32 matches the TF reference bit-for-bit.",
+    )
     parser.add_argument(
         "--matmul_precision",
         default="highest",

@@ -92,8 +92,14 @@ def _import_and_run(out, meta, fx, gt_seg=False):
     [
         "casapose_c_gcu5",  # flagship: partial conv + CLADE + guided ups
         "casapose_c",  # trainable HalfSize, no stop-gradient, plain 2x ups
+        "casapose_c_gu",  # CLADE + guided ups, no partial conv
+        "casapose_c_gcu3",  # partial conv on layers 1-3
+        "casapose_c_gcu4",  # partial conv on layers 1-4
         "casapose_c_gcu5_sw5",  # cross-decoder shared PartialConvolutions
+        "casapose_c_gcu4_sw1",  # shared layer 1 + partial conv 2-5
+        "casapose_c_gcu5_sw1",  # shared layer 1, no decoder-2 skip concats
         "casapose_c_gcu4_bilat",  # guided *bilinear* upsampling
+        "casapose_c_gcu4_sw2",  # shared layers 1-2 + partial conv 3-4
         "pvnet_combined",  # single-decoder baseline, fused final conv
     ],
 )
