@@ -63,6 +63,7 @@ def test_full_resolution_matches_exact_oracle():
     np.testing.assert_array_equal(ours, oracle)
 
 
+@pytest.mark.slow
 def test_quarter_resolution_agrees_on_main_blobs():
     """Downsampled filtering must keep exactly the same main component;
     deviation is confined to sub-threshold satellites near the boundary."""
@@ -88,6 +89,7 @@ def test_quarter_resolution_agrees_on_main_blobs():
                 assert (kept_fast[bi, :, :, o] & main_mask).sum() == main_mask.sum()
 
 
+@pytest.mark.slow
 def test_boundary_straddle_exact_size_semantics():
     """The coarse filter weights components by TRUE pixel count, so the
     min_component_size keep/drop decision matches the exact filter for
@@ -110,6 +112,7 @@ def test_boundary_straddle_exact_size_semantics():
             )
 
 
+@pytest.mark.slow
 def test_voting_unchanged_by_downsample_on_clean_masks():
     """End metric impact: voted keypoints identical for both modes when the
     masks are LMO-like (one dominant blob per class)."""
