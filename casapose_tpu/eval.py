@@ -252,7 +252,15 @@ def run_evaluation(opt):
     times = []
 
     print(f"Test Batches: {test_batches}")
+    profile_dir = getattr(opt, "profile_dir", None)
     for batch_idx in range(int(test_batches)):
+        if profile_dir:
+            if batch_idx == 1:  # skip the compile batch
+                jax.profiler.start_trace(profile_dir)
+            elif batch_idx == 6 or (batch_idx == int(test_batches) - 1 and batch_idx > 1):
+                jax.profiler.stop_trace()
+                print(f"wrote profiler trace to {profile_dir}")
+                profile_dir = None
         batch = testingdata.get_next()
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
         t0 = time.time()

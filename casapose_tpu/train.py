@@ -536,7 +536,17 @@ def run_training(opt):
                 log_batch("loss_train.csv", epoch, b_idx, loss_np)
             pending.clear()
 
+        profile_dir = getattr(opt, "profile_dir", None)
         for batch_idx in range(int(train_batches)):
+            # jax.profiler trace of steps 10..15 of the first epoch
+            # (post-warmup; SURVEY §5.1 tracing subsystem).
+            if profile_dir and epoch == start_epoch:
+                if batch_idx == 10:
+                    jax.profiler.start_trace(profile_dir)
+                elif batch_idx == 15:
+                    jax.profiler.stop_trace()
+                    print(f"wrote profiler trace to {profile_dir}")
+                    profile_dir = None
             batch = trainingdata.get_next()
             rng, sub = jax.random.split(rng)
             state, losses = train_step(state, _device_batch(batch, mesh), sub)

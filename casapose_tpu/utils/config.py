@@ -43,6 +43,11 @@ def build_parser():
     parser.add_argument("--confidence_regularization", type=str2bool, default=False, help="loss regularization so the estimates do not get too small")
     parser.add_argument("--confidence_filter_estimates", type=str2bool, default=True, help="apply connected component analysis and choose largest")
     parser.add_argument(
+        "--profile_dir", default=None,
+        help="write a jax.profiler trace (XPlane, viewable in TensorBoard/xprof) covering steps 10-15 "
+        "of training or the first 5 eval batches",
+    )
+    parser.add_argument(
         "--ransac_rounds", type=int, default=20,
         help="max hypothesis rounds (512 each) for RANSAC keypoint voting on the estimate_coords=0 "
         "path; rounds after the adaptive confidence threshold stop contributing (reference "
