@@ -71,3 +71,31 @@ def test_ransac_empty_mask_returns_zero():
     )
     np.testing.assert_allclose(pts[0, 1], 0.0, atol=1e-6)  # empty class
     np.testing.assert_allclose(pts[0, 0, 0], [15.0, 15.0], atol=0.5)
+
+
+def test_ransac_adaptive_confidence_gating():
+    """Adaptive-confidence semantics (ransac_voting.py:318-347): on a clean
+    field the first round already clears the confidence threshold, so extra
+    rounds must not change the result; with confidence=1.0 (never reached)
+    all rounds contribute and accuracy is at least as good."""
+    h, w = 64, 64
+    mask = np.zeros((h, w), bool)
+    mask[10:40, 15:50] = True
+    kps = [(20.0, 30.0), (5.0, 55.0)]
+    field = _make_field(h, w, mask, kps)
+    masks = jnp.asarray(mask[None, :, :, None].astype(np.float32))
+    vf = jnp.asarray(field[None])
+    key = jax.random.PRNGKey(3)
+
+    one = np.asarray(ransac_voting_layer_all_masks(masks, vf, 128, max_iter=1, max_num=2048, rng_key=key))
+    gated = np.asarray(ransac_voting_layer_all_masks(masks, vf, 128, max_iter=8, max_num=2048, rng_key=key))
+    # clean field: round 1 wins and clears 0.99 confidence -> rounds 2..8
+    # are frozen, so the refined result equals the single-round result
+    np.testing.assert_allclose(gated, one, atol=1e-4)
+
+    ungated = np.asarray(
+        ransac_voting_layer_all_masks(masks, vf, 128, max_iter=8, max_num=2048, confidence=1.0, rng_key=key)
+    )
+    err_one = np.abs(one[0, 0] - np.asarray([[30.0, 20.0], [55.0, 5.0]])).max()
+    err_ungated = np.abs(ungated[0, 0] - np.asarray([[30.0, 20.0], [55.0, 5.0]])).max()
+    assert err_ungated <= err_one + 0.25
