@@ -44,24 +44,9 @@ def main():
 
     import jax
 
-    # Persistent compilation cache: the first compile of the fused step is
-    # minutes over the TPU tunnel; later runs reuse the compiled binary.
-    # bench_cache/ ships pre-built binaries for the default configuration so
-    # a fresh checkout does not pay the multi-minute cold compile (stale
-    # entries are simply cache misses).
-    import shutil
+    from casapose_tpu.core.cache import setup_compilation_cache
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    cache_dir = os.path.join(repo, ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    seed_dir = os.path.join(repo, "bench_cache")
-    if os.path.isdir(seed_dir):
-        for f in os.listdir(seed_dir):
-            dst = os.path.join(cache_dir, f)
-            if not os.path.exists(dst):
-                shutil.copyfile(os.path.join(seed_dir, f), dst)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_compilation_cache(os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
 
     from casapose_tpu.models.registry import get_model

@@ -272,10 +272,21 @@ def find_imagenet_h5(base_model: str) -> Optional[str]:
     if os.path.exists(cache):
         return cache
     try:
+        import hashlib
         import urllib.request
 
         os.makedirs(os.path.dirname(cache), exist_ok=True)
-        urllib.request.urlretrieve(spec["url"], cache)  # noqa: S310 — fixed release URL
+        # Download to a temp name and rename only after the md5 checks out,
+        # so an interrupted fetch can never leave a truncated file that
+        # poisons every later run.
+        tmp = cache + ".download"
+        urllib.request.urlretrieve(spec["url"], tmp)  # noqa: S310 — fixed release URL
+        with open(tmp, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()  # noqa: S324 — artifact integrity only
+        if digest != spec["md5"]:
+            os.remove(tmp)
+            raise ValueError(f"md5 mismatch ({digest} != {spec['md5']})")
+        os.replace(tmp, cache)
         return cache
     except Exception as e:  # offline / fetch failure: pretrained init is skipped
         print(f"imagenet weights unavailable for {base_model}: {e}")

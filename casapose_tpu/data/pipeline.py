@@ -53,9 +53,11 @@ def _decode_image(path, color):
 def _decode_seg(path):
     if cv2 is not None:
         arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        if arr is not None:
-            if arr.ndim == 3:
-                arr = arr[..., 0]
+        # Only trust the cv2 fast path for single-channel masks: cv2
+        # expands palette PNGs to BGR (losing the palette index = class id)
+        # and returns BGR for color masks, so channel 0 would be BLUE where
+        # the PIL path reads R/palette indices. Multi-channel falls back.
+        if arr is not None and arr.ndim == 2:
             return arr.astype(np.uint8)
     seg = Image.open(path)
     arr = np.asarray(seg)

@@ -253,14 +253,17 @@ def run_evaluation(opt):
 
     print(f"Test Batches: {test_batches}")
     profile_dir = getattr(opt, "profile_dir", None)
+    prof_active = False
     for batch_idx in range(int(test_batches)):
         if profile_dir:
-            if batch_idx == 1:  # skip the compile batch
+            if batch_idx == 1 and not prof_active:  # skip the compile batch
                 jax.profiler.start_trace(profile_dir)
-            elif batch_idx == 6 or (batch_idx == int(test_batches) - 1 and batch_idx > 1):
+                prof_active = True
+            elif batch_idx == 6 and prof_active:
                 jax.profiler.stop_trace()
                 print(f"wrote profiler trace to {profile_dir}")
                 profile_dir = None
+                prof_active = False
         batch = testingdata.get_next()
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
         t0 = time.time()
@@ -350,6 +353,10 @@ def run_evaluation(opt):
             )
             save_mask_by_proxy_loss(np.asarray(out["proxy_per_object"])[0], tseg0[0], img_dir)
 
+    if prof_active:  # fewer than 7 batches: stop at loop end
+        jax.profiler.stop_trace()
+        print(f"wrote profiler trace to {profile_dir}")
+
     test_loss /= max(int(test_batches), 1)
     with np.errstate(divide="ignore", invalid="ignore"):
         err_2d = np.nan_to_num(sums["v2d"] / sums["gt"])
@@ -357,7 +364,14 @@ def run_evaluation(opt):
         detection_count = sums["gt"] - sums["missed"] + sums["fp"]
         detection_count = np.where(sums["gt"] == 0, 0.0, detection_count)
         precision = np.nan_to_num(np.where(detection_count > 0, sums["v3d"] / np.maximum(detection_count, 1e-9), 0.0))
-    mean_time = float(np.mean(times[10:])) if len(times) > 10 else float(np.mean(times)) if times else 0.0
+    # Exclude the compile batch from short-run means (the reference's
+    # batches[10:] convention already does for runs > 10).
+    if len(times) > 10:
+        mean_time = float(np.mean(times[10:]))
+    elif len(times) > 1:
+        mean_time = float(np.mean(times[1:]))
+    else:
+        mean_time = float(times[0]) if times else 0.0
 
     print("==========================")
     print(

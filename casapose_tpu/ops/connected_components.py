@@ -121,7 +121,7 @@ def _run_totals_sorted(s, w):
     return total
 
 
-def largest_component_mask(fg, min_size=50, second_largest=False, weights=None):
+def largest_component_mask(fg, min_size=50, second_largest=False, weights=None, weight_bits=5):
     """Keep only the largest (or second-largest) component of each mask.
 
     Mirrors the reference's bincount + top-k filter
@@ -136,22 +136,32 @@ def largest_component_mask(fg, min_size=50, second_largest=False, weights=None):
         a coarsened view (instance_filter_mask downsample > 1), passing the
         fine-pixel count per coarse cell makes both the ``min_size``
         threshold and the largest-component choice exact in TRUE pixels —
-        only connectivity stays approximated.
+        only connectivity stays approximated. Each weight must fit in
+        ``weight_bits`` bits: label and weight are packed into one int32
+        sort key, so ONE sort orders both (an argsort + gathers measurably
+        slows the whole inference pipeline).
     Returns:
       [M, h, w] float32 mask of the selected component (possibly all-zero).
     """
     m, h, w = fg.shape
     labels = connected_components_labels(fg)
     flat = labels.reshape(m, h * w)
-    if weights is None:
-        wflat = jnp.ones((m, h * w), jnp.int32)
-    else:
-        wflat = weights.reshape(m, h * w).astype(jnp.int32)
 
-    def best_label_for(row, wrow):
-        order = jnp.argsort(row)
-        s = row[order]
-        run_size = _run_totals_sorted(s, wrow[order])
+    if weights is None:
+        pack_bits = 0
+        packed = flat
+    else:
+        pack_bits = weight_bits
+        wflat = jnp.minimum(weights.reshape(m, h * w).astype(jnp.int32), (1 << weight_bits) - 1)
+        packed = (flat << pack_bits) | wflat
+
+    def best_label_for(row):
+        s_packed = jnp.sort(row)
+        s = s_packed >> pack_bits if pack_bits else s_packed
+        if pack_bits:
+            run_size = _run_totals_sorted(s, s_packed & ((1 << pack_bits) - 1))
+        else:
+            _, run_size = _run_lengths_sorted(s)
         valid = (s > 0) & (run_size >= min_size)
         score = jnp.where(valid, run_size, 0)
         best = s[jnp.argmax(score)]
@@ -163,6 +173,6 @@ def largest_component_mask(fg, min_size=50, second_largest=False, weights=None):
             return jnp.where(best2_ok, best2, -1)
         return jnp.where(best_ok, best, -1)
 
-    target = jax.vmap(best_label_for)(flat, wflat)  # [M]
+    target = jax.vmap(best_label_for)(flat if weights is None else packed)  # [M]
     keep = fg & (labels == target[:, None, None]) & (target[:, None, None] > 0)
     return keep.astype(jnp.float32)

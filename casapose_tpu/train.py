@@ -80,7 +80,10 @@ def build_model_from_opt(opt, no_objects):
         ver_dim += opt.no_points
     kwargs = {}
     custom = getattr(opt, "custom_decoder_params", None)
-    if custom and opt.modelname == "casapose_custom":
+    if custom:
+        # Pass through unconditionally: the registry raises a clear error
+        # when the model is not casapose_custom (silently dropping the flag
+        # would train the wrong architecture).
         kwargs["decoder_params"] = custom
     # bf16 compute policy: params/optimizer/losses stay f32; conv/BN
     # activations run in bf16 (halves HBM activation traffic — the train
@@ -536,17 +539,23 @@ def run_training(opt):
                 log_batch("loss_train.csv", epoch, b_idx, loss_np)
             pending.clear()
 
-        profile_dir = getattr(opt, "profile_dir", None)
+        # jax.profiler trace of up to 5 post-warmup steps of the first
+        # epoch (SURVEY §5.1 tracing subsystem). Start/stop indices clamp
+        # to the dataset size so short runs still produce a trace.
+        profile_dir = getattr(opt, "profile_dir", None) if epoch == start_epoch else None
+        prof_start = min(10, max(int(train_batches) - 1, 0))
+        prof_stop = min(prof_start + 5, int(train_batches))
+        prof_active = False
         for batch_idx in range(int(train_batches)):
-            # jax.profiler trace of steps 10..15 of the first epoch
-            # (post-warmup; SURVEY §5.1 tracing subsystem).
-            if profile_dir and epoch == start_epoch:
-                if batch_idx == 10:
+            if profile_dir:
+                if batch_idx == prof_start and not prof_active:
                     jax.profiler.start_trace(profile_dir)
-                elif batch_idx == 15:
+                    prof_active = True
+                elif batch_idx == prof_stop and prof_active:
                     jax.profiler.stop_trace()
                     print(f"wrote profiler trace to {profile_dir}")
                     profile_dir = None
+                    prof_active = False
             batch = trainingdata.get_next()
             rng, sub = jax.random.split(rng)
             state, losses = train_step(state, _device_batch(batch, mesh), sub)
@@ -559,6 +568,9 @@ def run_training(opt):
                 )
                 print(f"Time {time.time() - t0}")
                 t0 = time.time()
+        if prof_active:  # loop ended before prof_stop (short dataset)
+            jax.profiler.stop_trace()
+            print(f"wrote profiler trace to {profile_dir}")
         flush_pending()
         epoch_loss /= max(int(train_batches), 1)
         lr_now = float(lr_schedule(int(state.step)))

@@ -67,3 +67,33 @@ def test_prepare_device_batch_with_jitter_finite():
     out = np.asarray(out_img)
     assert np.all(np.isfinite(out))
     assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_decode_seg_palette_and_rgb_modes(tmp_path):
+    """_decode_seg must return class IDS for palette ('P') and RGB masks —
+    the cv2 fast path only handles single-channel files; anything else
+    falls back to PIL (cv2 would expand palettes to BGR and lose the ids)."""
+    import numpy as np
+    from PIL import Image
+
+    from casapose_tpu.data.pipeline import _decode_seg
+
+    ids = np.zeros((16, 16), np.uint8)
+    ids[2:6, 3:9] = 7
+    ids[10:14, 1:5] = 2
+
+    gray = tmp_path / "gray.seg.png"
+    Image.fromarray(ids, mode="L").save(gray)
+    np.testing.assert_array_equal(_decode_seg(str(gray)), ids)
+
+    pal = tmp_path / "pal.seg.png"
+    im = Image.fromarray(ids, mode="P")
+    # non-identity palette so a BGR expansion would corrupt the ids
+    im.putpalette([min(3 * i + 1, 255) for i in range(256) for _ in range(3)])
+    im.save(pal)
+    np.testing.assert_array_equal(_decode_seg(str(pal)), ids)
+
+    rgb = tmp_path / "rgb.seg.png"
+    arr = np.stack([ids, np.full_like(ids, 99), np.full_like(ids, 55)], axis=-1)
+    Image.fromarray(arr, mode="RGB").save(rgb)
+    np.testing.assert_array_equal(_decode_seg(str(rgb)), ids)  # channel 0 = R

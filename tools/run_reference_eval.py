@@ -21,130 +21,21 @@ Usage: python tools/run_reference_eval.py [reference test_casapose.py flags]
 import os
 import runpy
 import sys
-import types
 
-
-def _stub_tfa():
-    import numpy as np
-    import tensorflow as tf
-
-    tfa = types.ModuleType("tensorflow_addons")
-    image = types.ModuleType("tensorflow_addons.image")
-
-    def transform(images, transforms, interpolation="nearest", output_shape=None, fill_value=0.0):
-        if output_shape is None:
-            output_shape = tf.shape(images)[1:3]
-        transforms = tf.convert_to_tensor(transforms, tf.float32)
-        if transforms.shape.ndims == 1:
-            transforms = transforms[None]
-        return tf.raw_ops.ImageProjectiveTransformV3(
-            images=images,
-            transforms=transforms,
-            output_shape=output_shape,
-            fill_value=fill_value,
-            interpolation=interpolation.upper(),
-        )
-
-    def connected_components(images):
-        from scipy import ndimage
-
-        def _cc(arr):
-            arr = np.asarray(arr)
-            single = arr.ndim == 2
-            if single:
-                arr = arr[None]
-            out = np.zeros(arr.shape, np.int32)
-            offset = 0
-            for i in range(arr.shape[0]):
-                lab, n = ndimage.label(arr[i] != 0)
-                lab = lab.astype(np.int32)
-                lab[lab > 0] += offset
-                out[i] = lab
-                offset += n
-            return out[0] if single else out
-
-        return tf.numpy_function(_cc, [images], tf.int32)
-
-    image.transform = transform
-    image.connected_components = connected_components
-    tfa.image = image
-    sys.modules["tensorflow_addons"] = tfa
-    sys.modules["tensorflow_addons.image"] = image
-
-
-def _stub_trimesh():
-    import numpy as np
-
-    trimesh = types.ModuleType("trimesh")
-
-    class _Box:
-        def __init__(self, verts):
-            lo, hi = verts.min(0), verts.max(0)
-            corners = [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])]
-            self.vertices = np.asarray(corners, np.float64)
-
-    class _Mesh:
-        def __init__(self, verts):
-            self.vertices = verts
-            self.bounding_box = _Box(verts)
-
-    def load(path, **kwargs):
-        verts = []
-        with open(path, "r") as f:
-            n = 0
-            for line in f:
-                line = line.strip()
-                if line.startswith("element vertex"):
-                    n = int(line.split()[-1])
-                if line == "end_header":
-                    break
-            for _ in range(n):
-                verts.append([float(v) for v in f.readline().split()[:3]])
-        import numpy as np
-
-        return _Mesh(np.asarray(verts, np.float64))
-
-    trimesh.load = load
-    sys.modules["trimesh"] = trimesh
-
-
-def _stub_imgaug():
-    class _Chain:
-        """Callable/attribute sink: iaa.X(...)(...) etc. all resolve."""
-
-        def __call__(self, *a, **k):
-            return self
-
-        def __getattr__(self, name):
-            return self
-
-    imgaug = types.ModuleType("imgaug")
-    augmenters = types.ModuleType("imgaug.augmenters")
-    chain = _Chain()
-    augmenters.__getattr__ = lambda name: chain  # module-level getattr (py3.7+)
-    imgaug.augmenters = augmenters
-    imgaug.__getattr__ = lambda name: chain
-    sys.modules["imgaug"] = imgaug
-    sys.modules["imgaug.augmenters"] = augmenters
+# Backwards-compatible re-exports (benchmarks/baseline_reference.py and ad-hoc
+# dump scripts import the stubs from this module).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _reference_shims import stub_imgaug as _stub_imgaug  # noqa: E402,F401
+from _reference_shims import stub_tfa as _stub_tfa  # noqa: E402,F401
+from _reference_shims import stub_trimesh as _stub_trimesh  # noqa: E402,F401
 
 
 def main():
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    os.environ["TF_USE_LEGACY_KERAS"] = "1"
-    os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
-    ref = os.environ.get("CASAPOSE_REFERENCE_DIR", "/root/reference")
-    if ref not in sys.path:
-        sys.path.insert(0, ref)
-    _stub_tfa()
-    _stub_trimesh()
-    _stub_imgaug()
+    if os.path.dirname(os.path.abspath(__file__)) not in sys.path:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _reference_shims import setup_reference_env
 
-    # NumPy 2 removed the 'unicode_' dtype alias the reference uses
-    # (vectorfield_dataset.py:493); re-register it.
-    import numpy as np
-
-    if "unicode_" not in np.sctypeDict:
-        np.sctypeDict["unicode_"] = np.str_
+    ref = setup_reference_env()
 
     # The reference hard-codes weights="imagenet" (test_casapose.py:217),
     # which triggers a download (weights.py:26-31) — impossible without

@@ -32,66 +32,11 @@ import sys
 
 
 def _setup_env():
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    os.environ["TF_USE_LEGACY_KERAS"] = "1"
-    os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
-    ref = os.environ.get("CASAPOSE_REFERENCE_DIR", "/root/reference")
-    if ref not in sys.path:
-        sys.path.insert(0, ref)
-    _stub_tfa()
-    return ref
+    if os.path.dirname(os.path.abspath(__file__)) not in sys.path:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _reference_shims import setup_reference_env
 
-
-def _stub_tfa():
-    """Provide the two tensorflow_addons ops the reference calls."""
-    import types
-
-    import numpy as np
-    import tensorflow as tf
-
-    tfa = types.ModuleType("tensorflow_addons")
-    image = types.ModuleType("tensorflow_addons.image")
-
-    def transform(images, transforms, interpolation="nearest", output_shape=None, fill_value=0.0):
-        # tfa.image.transform is a thin wrapper over this core op.
-        if output_shape is None:
-            output_shape = tf.shape(images)[1:3]
-        transforms = tf.convert_to_tensor(transforms, tf.float32)
-        if transforms.shape.ndims == 1:
-            transforms = transforms[None]
-        return tf.raw_ops.ImageProjectiveTransformV3(
-            images=images,
-            transforms=transforms,
-            output_shape=output_shape,
-            fill_value=fill_value,
-            interpolation=interpolation.upper(),
-        )
-
-    def connected_components(images):
-        from scipy import ndimage
-
-        def _cc(arr):
-            arr = np.asarray(arr)
-            single = arr.ndim == 2
-            if single:
-                arr = arr[None]
-            out = np.zeros(arr.shape, np.int32)
-            offset = 0
-            for i in range(arr.shape[0]):
-                lab, n = ndimage.label(arr[i] != 0)  # 4-connectivity, like tfa
-                lab = lab.astype(np.int32)
-                lab[lab > 0] += offset
-                out[i] = lab
-                offset += n
-            return out[0] if single else out
-
-        return tf.numpy_function(_cc, [images], tf.int32)
-
-    image.transform = transform
-    image.connected_components = connected_components
-    tfa.image = image
-    sys.modules["tensorflow_addons"] = tfa
-    sys.modules["tensorflow_addons.image"] = image
+    return setup_reference_env()
 
 
 def _seed_weights(net):

@@ -90,7 +90,8 @@ def main():
         with open(csv_path, "a") as f:
             f.write(f"{batch_idx + 1},{dt:.6f}\n")
 
-    mean_time = float(np.mean(times[10:])) if len(times) > 10 else float(np.mean(times))
+    # Short runs: skip the compile batch instead of averaging it in.
+    mean_time = float(np.mean(times[10:])) if len(times) > 10 else float(np.mean(times[1:])) if len(times) > 1 else float(times[0])
     print(f"mean time (batches 10+): {mean_time:.6f} s -> {1.0 / mean_time:.2f} images/sec")
     with open(csv_path, "a") as f:
         f.write(f"mean,{mean_time:.6f}\n")
