@@ -79,7 +79,7 @@ def main():
         seg = out[..., :seg_dim]
         dirs = out[..., seg_dim : seg_dim + 2 * k]
         conf = out[..., seg_dim + 2 * k :]
-        coords = ls_voting(seg, dirs, conf, num_points=k, filter_estimates=True)
+        coords = ls_voting(seg, dirs, conf, num_points=k, filter_estimates=True, raw_output=out)
         return poses_pnp(coords, seg, keypoints3d, camera, no_objects)
 
     # Chip peaks for MFU / bandwidth utilization (dense bf16 / HBM).

@@ -70,6 +70,9 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
                 filter_estimates=bool(opt.confidence_filter_estimates),
                 output_second_largest_component=bool(opt.confidence_choose_second),
                 cc_downsample=int(getattr(opt, "cc_filter_downsample", 4)),
+                # Fused Pallas voting on accelerators (channel layout is
+                # [seg | dirs | conf] only when confidence is estimated).
+                raw_output=output_net if opt.estimate_confidence else None,
             )
             kp_loss, poses_est, points_est = keypoint_reprojection_loss(
                 coords,
