@@ -65,11 +65,13 @@ def _opt(data_root, mesh_root, outdir, **over):
     return parse_config(args)
 
 
-def test_run_training_one_epoch(dataset):
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_run_training_one_epoch(dataset, compute_dtype):
     from casapose_tpu.train import run_training
 
     data_root, mesh_root, outdir = dataset
-    opt = _opt(data_root, mesh_root, outdir)
+    opt = _opt(data_root, mesh_root, os.path.join(outdir, compute_dtype))
+    opt.compute_dtype = compute_dtype
     state = run_training(opt)
     assert state is not None
     # CSV telemetry written
