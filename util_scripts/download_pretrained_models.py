@@ -18,13 +18,24 @@ URLS = [
 
 def main(out_dir="data/pretrained_models"):
     os.makedirs(out_dir, exist_ok=True)
+    failed = []
     for url in URLS:
         fname = os.path.join(out_dir, os.path.basename(url))
         if os.path.exists(fname):
             print(f"exists: {fname}")
             continue
         print(f"downloading {url}")
-        urllib.request.urlretrieve(url, fname)
+        tmp = fname + ".download"
+        try:
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, fname)
+        except OSError as e:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            print(f"FAILED ({e}); if this machine is offline, fetch the file manually and place it at {fname}")
+            failed.append(url)
+    if failed:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
