@@ -46,12 +46,19 @@ def _ift_vjp_single(g_out, p6d, pts2d, pts3d, K):
     J_fK = jax.jacfwd(_f, argnums=3)(p6d, pts2d, pts3d, K)  # [6,3,3]
     # J_fy is the (symmetric) Hessian of the reprojection objective at the
     # optimum; a damped Cholesky solve replaces the reference's pinv (TPU
-    # SVD-based pinv lowers to slow while_loops).
+    # SVD-based pinv lowers to slow while_loops). The rotation and
+    # translation blocks have wildly different units (px^2/rad^2 ~ 1e6 vs
+    # px^2/m^2 ~ 1e2 at typical scene scale), so trace-proportional
+    # damping would swamp the soft translation directions (measured: 30%
+    # gradient error vs the exact float64 IFT). Jacobi equilibration makes
+    # the damping relative per-direction: <0.01% distortion, verified
+    # against the float64 oracle in tests/test_tf_parity_misc.py.
     from casapose_tpu.pose.epnp import _cholesky_solve_spd
 
     H = 0.5 * (J_fy + J_fy.T)
-    H = H + (1e-6 * jnp.trace(H) + 1e-20) * jnp.eye(6, dtype=H.dtype)
-    w = -_cholesky_solve_spd(H, g_out)  # [6]
+    d_inv = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-12, None))
+    Hn = H * d_inv[:, None] * d_inv[None, :] + 1e-5 * jnp.eye(6, dtype=H.dtype)
+    w = -d_inv * _cholesky_solve_spd(Hn, d_inv * g_out)  # [6]
     d_x = jnp.einsum("i,inm->nm", w, J_fx)
     d_z = jnp.einsum("i,inm->nm", w, J_fz)
     d_K = jnp.einsum("i,inm->nm", w, J_fK)

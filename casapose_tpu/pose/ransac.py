@@ -43,7 +43,10 @@ def _select_candidates(mask, max_num, key):
     flat = mask.reshape(-1)
     noise = jax.random.uniform(key, flat.shape)
     scores = flat * 2.0 + noise
-    _, idx = lax.top_k(scores, max_num)
+    # The reference only downsamples when foreground exceeds max_num
+    # (ransac_voting.py:295-301); a candidate set can never exceed the
+    # image itself.
+    _, idx = lax.top_k(scores, min(max_num, flat.shape[0]))
     valid = flat[idx]
     ys = (idx // w).astype(jnp.float32) + 0.5
     xs = (idx % w).astype(jnp.float32) + 0.5

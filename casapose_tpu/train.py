@@ -409,7 +409,12 @@ def run_training(opt):
     lr_schedule = make_lr_schedule(
         opt.lr, opt.lr_decay, opt.lr_epochs, opt.lr_epochs_start, opt.lr_epochs_steps, int(train_batches)
     )
-    tx = optax.adam(lr_schedule)
+    # Reference optimizer semantics exactly (tf.keras legacy Adam,
+    # train_casapose.py:347) — see core/optimizer.py for why optax.adam
+    # is not step-equivalent.
+    from casapose_tpu.core.optimizer import adam_tf
+
+    tx = adam_tf(lr_schedule)
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

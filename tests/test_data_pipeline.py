@@ -2,115 +2,23 @@
 
 import json
 import os
+import sys
 
 import numpy as np
 import pytest
-from PIL import Image
-from scipy.spatial.transform import Rotation
 
-from casapose_tpu.data.mesh import load_ply_vertices, mesh_diameter
+from casapose_tpu.data.mesh import load_ply_vertices
 from casapose_tpu.data.ndds import VectorfieldDataset
 
-K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
-IMG_W, IMG_H = 320, 240
-OBJECTS = ["obj_000001", "obj_000002"]
-SEG_IDS = {"obj_000001": 100, "obj_000002": 200}
-
-
-def _write_ply(path, verts):
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(verts)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
-        for v in verts:
-            f.write(f"{v[0]} {v[1]} {v[2]}\n")
-
-
-def _make_meshes(root):
-    os.makedirs(root, exist_ok=True)
-    rng = np.random.default_rng(0)
-    info = {}
-    for name in OBJECTS:
-        d = os.path.join(root, name)
-        os.makedirs(d, exist_ok=True)
-        verts = rng.uniform(-30, 30, (50, 3))  # mm scale, like LM models
-        _write_ply(os.path.join(d, name + ".ply"), verts)
-        kps = rng.uniform(-25, 25, (9, 3))
-        _write_ply(os.path.join(d, name + "_keypoints.ply"), kps)
-        info[name] = {"diameter": mesh_diameter(verts)}
-    with open(os.path.join(root, "models_info.json"), "w") as f:
-        json.dump(info, f)
-
-
-def _project(pts3d, RT):
-    cam = pts3d @ RT[:, :3].T + RT[:, 3]
-    uv = cam @ K.T
-    return uv[:, :2] / uv[:, 2:]
-
-
-def _make_scene(scene_dir, mesh_root, n_images=4):
-    os.makedirs(scene_dir, exist_ok=True)
-    # _object_settings: fixed transform scales mm -> m (0.01 scale + flip, as
-    # the converter writes) — use 0.001 scale identity here.
-    fixed = np.diag([0.001, 0.001, 0.001, 1.0])
-    with open(os.path.join(scene_dir, "_object_settings.json"), "w") as f:
-        json.dump(
-            {
-                "exported_objects": [
-                    {
-                        "class": name,
-                        "segmentation_class_id": SEG_IDS[name],
-                        # stored row-major; loader transposes
-                        "fixed_model_transform": fixed.T.tolist(),
-                    }
-                    for name in OBJECTS
-                ]
-            },
-            f,
-        )
-    with open(os.path.join(scene_dir, "_camera_settings.json"), "w") as f:
-        json.dump(
-            {
-                "camera_settings": [
-                    {"intrinsic_settings": {"fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2]}}
-                ]
-            },
-            f,
-        )
-
-    rng = np.random.default_rng(42)
-    kp_mesh = {name: load_ply_vertices(os.path.join(mesh_root, name, name + "_keypoints.ply")) for name in OBJECTS}
-    for i in range(n_images):
-        img = rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
-        seg = np.zeros((IMG_H, IMG_W), np.uint8)
-        objects = []
-        for oi, name in enumerate(OBJECTS):
-            Rm = Rotation.random(random_state=i * 10 + oi).as_matrix()
-            t = np.array([0.02 * (oi - 0.5), 0.01, 0.5])
-            RT = np.concatenate([Rm, t[:, None]], axis=1)
-            kp3d_m = kp_mesh[name] @ np.diag([0.001] * 3)  # fixed transform applied
-            kp2d = _project(kp3d_m, RT)
-            # paint a blob roughly at the object center
-            cx, cy = kp2d.mean(axis=0).astype(int)
-            y0, y1 = max(cy - 25, 0), min(cy + 25, IMG_H)
-            x0, x1 = max(cx - 25, 0), min(cx + 25, IMG_W)
-            seg[y0:y1, x0:x1] = SEG_IDS[name]
-            q = Rotation.from_matrix(Rm).as_quat()  # xyzw
-            objects.append(
-                {
-                    "class": name,
-                    "visibility": 1.0,
-                    "location": t.tolist(),
-                    "quaternion_xyzw": q.tolist(),
-                    "keypoints_2d": kp2d.tolist(),
-                    "keypoints_3d": kp3d_m.tolist(),
-                    "px_count_all": int((seg == SEG_IDS[name]).sum()),
-                }
-            )
-        Image.fromarray(img).save(os.path.join(scene_dir, f"{i:06d}.png"))
-        Image.fromarray(seg).save(os.path.join(scene_dir, f"{i:06d}.seg.png"))
-        with open(os.path.join(scene_dir, f"{i:06d}.json"), "w") as f:
-            json.dump({"objects": objects}, f)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.join(REPO, "tools") not in sys.path:
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+# Scene generation is shared with the TF oracle (tools/synthetic_scene.py)
+# so cross-framework train/eval parity runs scan the identical dataset.
+from synthetic_scene import IMG_H, IMG_W, K, OBJECTS, SEG_IDS  # noqa: E402
+from synthetic_scene import make_meshes as _make_meshes  # noqa: E402
+from synthetic_scene import make_scene as _make_scene  # noqa: E402
+from synthetic_scene import project as _project  # noqa: E402
 
 
 @pytest.fixture(scope="module")

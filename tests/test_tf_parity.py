@@ -20,52 +20,84 @@ Matches VERDICT round-1 item 1 / SURVEY §7 step 3 (parity harness).
 
 import json
 import os
-import subprocess
 import sys
 
 import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ORACLE = os.path.join(REPO, "tools", "tf_reference_oracle.py")
+if os.path.join(REPO, "tools") not in sys.path:
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+from oracle_cache import ensure_fixtures  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
+ZOO_VARIANTS = [
+    "casapose_c_gcu5",  # flagship: partial conv + CLADE + guided ups
+    "casapose_c",  # trainable HalfSize, no stop-gradient, plain 2x ups
+    "casapose_c_gu",  # CLADE + guided ups, no partial conv
+    "casapose_c_gcu3",  # partial conv on layers 1-3
+    "casapose_c_gcu4",  # partial conv on layers 1-4
+    "casapose_c_gcu5_sw5",  # cross-decoder shared PartialConvolutions
+    "casapose_c_gcu4_sw1",  # shared layer 1 + partial conv 2-5
+    "casapose_c_gcu5_sw1",  # shared layer 1, no decoder-2 skip concats
+    "casapose_c_gcu4_bilat",  # guided *bilinear* upsampling
+    "casapose_c_gcu4_sw2",  # shared layers 1-2 + partial conv 3-4
+    "pvnet_combined",  # single-decoder baseline, fused final conv
+]
 
-def _run_oracle(args, out_dir):
-    """Run the TF oracle subprocess; skip the test if TF is unusable."""
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, ORACLE] + args + ["--out", out_dir],
-        capture_output=True,
-        text=True,
-        timeout=560,
-        env=env,
-    )
-    if proc.returncode != 0:
-        pytest.skip(f"TF oracle unavailable: {proc.stderr[-800:]}")
-    return proc
-
-
-@pytest.fixture(scope="module")
-def oracle_dir(tmp_path_factory):
-    return tmp_path_factory.mktemp("tf_oracle")
+CUSTOM_WIRING = "10000,11100,11110,10010,10000"
 
 
-def _forward_fixture(oracle_dir, model, size=64, objects=4, points=9, gt_seg=False):
-    out = os.path.join(str(oracle_dir), model + ("_gt" if gt_seg else ""))
-    if not os.path.exists(os.path.join(out, "fixture.npz")):
-        args = [
-            "forward", "--model", model,
-            "--height", str(size), "--width", str(size),
-            "--objects", str(objects), "--points", str(points),
-        ]
-        if gt_seg:
-            args.append("--gt-seg-input")
-        _run_oracle(args, out)
-    meta = json.load(open(os.path.join(out, "meta.json")))
+def _fwd_argv(model, size=64, objects=4, points=9, gt_seg=False, decoder_params=None):
+    argv = [
+        "forward", "--model", model,
+        "--height", str(size), "--width", str(size),
+        "--objects", str(objects), "--points", str(points),
+    ]
+    if gt_seg:
+        argv.append("--gt-seg-input")
+    if decoder_params:
+        argv += ["--decoder-params", decoder_params]
+    return argv
+
+
+MODULE_FIXTURES = (
+    [_fwd_argv(m) for m in ZOO_VARIANTS]
+    + [
+        _fwd_argv("casapose_c_gcu5", gt_seg=True),
+        _fwd_argv("casapose_custom", decoder_params=CUSTOM_WIRING),
+        ["backbone"],
+        ["voting"],
+        ["voting", "--filter"],
+    ]
+)
+
+
+@pytest.fixture(scope="session")
+def oracle_fixtures():
+    """Build every fixture this module needs in ONE oracle subprocess.
+
+    Disk-cached across sessions (tools/oracle_cache.py) — a warm run makes
+    no subprocess at all; a cold run pays a single TF import instead of 17
+    (VERDICT r2 weak #1: slow suite must finish < 20 min).
+    """
+    try:
+        dirs = ensure_fixtures(MODULE_FIXTURES)
+    except RuntimeError as e:  # TF oracle unusable in this environment
+        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+    return {json.dumps(a): d for a, d in zip(MODULE_FIXTURES, dirs)}
+
+
+def _fixture(oracle_fixtures, argv):
+    out = oracle_fixtures[json.dumps(argv)]
+    meta_path = os.path.join(out, "meta.json")
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+    return out, meta
+
+
+def _forward_fixture(oracle_fixtures, model, gt_seg=False, decoder_params=None):
+    out, meta = _fixture(oracle_fixtures, _fwd_argv(model, gt_seg=gt_seg, decoder_params=decoder_params))
     fx = np.load(os.path.join(out, "fixture.npz"))
     return out, meta, fx
 
@@ -87,24 +119,9 @@ def _import_and_run(out, meta, fx, gt_seg=False):
     return ours, loaded, skipped, meta["n_weights"]
 
 
-@pytest.mark.parametrize(
-    "model",
-    [
-        "casapose_c_gcu5",  # flagship: partial conv + CLADE + guided ups
-        "casapose_c",  # trainable HalfSize, no stop-gradient, plain 2x ups
-        "casapose_c_gu",  # CLADE + guided ups, no partial conv
-        "casapose_c_gcu3",  # partial conv on layers 1-3
-        "casapose_c_gcu4",  # partial conv on layers 1-4
-        "casapose_c_gcu5_sw5",  # cross-decoder shared PartialConvolutions
-        "casapose_c_gcu4_sw1",  # shared layer 1 + partial conv 2-5
-        "casapose_c_gcu5_sw1",  # shared layer 1, no decoder-2 skip concats
-        "casapose_c_gcu4_bilat",  # guided *bilinear* upsampling
-        "casapose_c_gcu4_sw2",  # shared layers 1-2 + partial conv 3-4
-        "pvnet_combined",  # single-decoder baseline, fused final conv
-    ],
-)
-def test_forward_parity(oracle_dir, model):
-    out, meta, fx = _forward_fixture(oracle_dir, model)
+@pytest.mark.parametrize("model", ZOO_VARIANTS)
+def test_forward_parity(oracle_fixtures, model):
+    out, meta, fx = _forward_fixture(oracle_fixtures, model)
     ours, loaded, skipped, n_weights = _import_and_run(out, meta, fx)
     assert skipped == [], f"unmapped reference datasets: {skipped}"
     assert loaded == n_weights
@@ -127,9 +144,9 @@ def test_forward_parity(oracle_dir, model):
     assert flips < 1e-3
 
 
-def test_forward_parity_gt_seg_input(oracle_dir):
+def test_forward_parity_gt_seg_input(oracle_fixtures):
     """train_vectors_with_ground_truth mode: GT mask conditions decoder 2."""
-    out, meta, fx = _forward_fixture(oracle_dir, "casapose_c_gcu5", gt_seg=True)
+    out, meta, fx = _forward_fixture(oracle_fixtures, "casapose_c_gcu5", gt_seg=True)
     ours, loaded, skipped, n_weights = _import_and_run(out, meta, fx, gt_seg=True)
     assert skipped == []
     assert loaded == n_weights
@@ -142,7 +159,7 @@ def test_forward_parity_gt_seg_input(oracle_dir):
     assert d[..., meta["seg_dim"] :].max() < 5e-2
 
 
-def test_casapose_custom_decoder_params_parity(oracle_dir):
+def test_casapose_custom_decoder_params_parity(oracle_fixtures):
     """casapose_custom with non-default per-layer wiring matches the
     reference's generic CASAPose(layer_params, ...) builder, and differs
     from gcu5 (VERDICT round-1 item 7)."""
@@ -155,16 +172,8 @@ def test_casapose_custom_decoder_params_parity(oracle_dir):
 
     # Not the gcu5 wiring: CLADE everywhere, partial conv only on layers
     # 2-3, bilinear guided upsampling, no plain guided ups on layer 3.
-    wiring = "10000,11100,11110,10010,10000"
-    out = os.path.join(str(oracle_dir), "custom")
-    if not os.path.exists(os.path.join(out, "fixture.npz")):
-        _run_oracle(
-            ["forward", "--model", "casapose_custom", "--decoder-params", wiring,
-             "--height", "64", "--width", "64", "--objects", "4", "--points", "9"],
-            out,
-        )
-    meta = json.load(open(os.path.join(out, "meta.json")))
-    fx = np.load(os.path.join(out, "fixture.npz"))
+    wiring = CUSTOM_WIRING
+    out, meta, fx = _forward_fixture(oracle_fixtures, "casapose_custom", decoder_params=wiring)
 
     model = get_model("casapose_custom", ver_dim=meta["ver_dim"], seg_dim=meta["seg_dim"], decoder_params=wiring)
     x = fx["input"]
@@ -188,7 +197,7 @@ def test_casapose_custom_decoder_params_parity(oracle_dir):
     assert np.abs(gcu5_out[..., sd:] - ours[..., sd:]).max() > 0.1
 
 
-def test_imagenet_backbone_import(oracle_dir):
+def test_imagenet_backbone_import(oracle_fixtures):
     """Backbone-only h5 (qubvel ImageNet layout) initializes our backbone.
 
     VERDICT round-1 item 2: imported-vs-random activations differ and the
@@ -201,9 +210,7 @@ def test_imagenet_backbone_import(oracle_dir):
     from casapose_tpu.core.checkpoint import load_imagenet_backbone
     from casapose_tpu.models.resnet import ResNetBackbone
 
-    out = os.path.join(str(oracle_dir), "backbone")
-    if not os.path.exists(os.path.join(out, "backbone_fixture.npz")):
-        _run_oracle(["backbone"], out)
+    out, _ = _fixture(oracle_fixtures, ["backbone"])
     fx = np.load(os.path.join(out, "backbone_fixture.npz"))
     bb = ResNetBackbone("resnet18")
     x = fx["input"]
@@ -219,26 +226,21 @@ def test_imagenet_backbone_import(oracle_dir):
         assert np.abs(random_feats[i] - fx[f"feat{i}"]).max() > 0.1
 
 
-def test_imagenet_env_override(oracle_dir, monkeypatch):
+def test_imagenet_env_override(oracle_fixtures, monkeypatch):
     """$CASAPOSE_IMAGENET_H5 short-circuits cache/download resolution."""
     from casapose_tpu.core.checkpoint import find_imagenet_h5
 
-    out = os.path.join(str(oracle_dir), "backbone")
-    if not os.path.exists(os.path.join(out, "backbone.h5")):
-        _run_oracle(["backbone"], out)
+    out, _ = _fixture(oracle_fixtures, ["backbone"])
     monkeypatch.setenv("CASAPOSE_IMAGENET_H5", os.path.join(out, "backbone.h5"))
     assert find_imagenet_h5("resnet18") == os.path.join(out, "backbone.h5")
     assert find_imagenet_h5("not_a_model") is None
 
 
 @pytest.mark.parametrize("filt", [False, True])
-def test_ls_voting_parity(oracle_dir, filt):
+def test_ls_voting_parity(oracle_fixtures, filt):
     from casapose_tpu.ops.voting import ls_voting
 
-    out = os.path.join(str(oracle_dir), f"voting_{int(filt)}")
-    if not os.path.exists(os.path.join(out, "voting_fixture.npz")):
-        args = ["voting"] + (["--filter"] if filt else [])
-        _run_oracle(args, out)
+    out, _ = _fixture(oracle_fixtures, ["voting"] + (["--filter"] if filt else []))
     fx = np.load(os.path.join(out, "voting_fixture.npz"))
     ours = np.asarray(
         ls_voting(fx["seg"], fx["dirs"], fx["conf"], num_points=9, filter_estimates=bool(fx["filter"]))

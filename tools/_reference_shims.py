@@ -30,6 +30,7 @@ def setup_reference_env():
     stub_tfa()
     stub_trimesh()
     stub_imgaug()
+    patch_tf_internals()
     import numpy as np
 
     if "unicode_" not in np.sctypeDict:
@@ -85,6 +86,20 @@ def stub_tfa():
     sys.modules["tensorflow_addons.image"] = image
 
 
+def patch_tf_internals():
+    """Restore TF-internal symbols the reference uses that modern TF removed.
+
+    ``ExponentialDecayLateStart.__call__`` (learning_rate_schedules.py:27)
+    calls ``ops.convert_to_tensor_v2_with_dispatch``, gone from current TF;
+    ``tf.convert_to_tensor`` is its public equivalent.
+    """
+    from tensorflow import convert_to_tensor
+    from tensorflow.python.framework import ops
+
+    if not hasattr(ops, "convert_to_tensor_v2_with_dispatch"):
+        ops.convert_to_tensor_v2_with_dispatch = convert_to_tensor
+
+
 def stub_trimesh():
     import numpy as np
 
@@ -121,9 +136,19 @@ def stub_trimesh():
 
 def stub_imgaug():
     class _Chain:
-        """Callable/attribute sink: iaa.X(...)(...) etc. all resolve."""
+        """Callable/attribute sink: iaa.X(...)(...) etc. all resolve.
+
+        ``seq(images=batch)`` returns the batch unchanged — the identity
+        augmentation. This makes ``use_imgaug=1`` reference runs
+        deterministic, which is what the cross-framework TRAIN parity
+        harness relies on (both sides run with augmentation disabled).
+        """
 
         def __call__(self, *a, **k):
+            if "images" in k:
+                import numpy as np
+
+                return np.asarray(k["images"])
             return self
 
         def __getattr__(self, name):

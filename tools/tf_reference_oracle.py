@@ -229,7 +229,305 @@ def cmd_voting(args):
     print(json.dumps({"ok": True, "shape": list(np.asarray(out).shape), "filter": bool(args.filter)}))
 
 
-def main():
+def cmd_ransac(args):
+    """Run the reference RANSAC voting layer on seeded masks/fields.
+
+    The fixture carries geometrically meaningful inputs: per-class blob
+    masks with unit direction fields pointing at known keypoints (clean,
+    or with deterministic angular noise). PRNG streams differ between
+    frameworks, so parity is asserted on the CONVERGED keypoints, not the
+    hypothesis sequence (reference ransac_voting.py:276-484).
+    """
+    _setup_env()
+    import numpy as np
+
+    from casapose.pose_estimation.ransac_voting import ransac_voting_layer_all_masks
+
+    rng = np.random.default_rng(13)
+    b, h, w = args.batch, args.height, args.width
+    oc, vn = args.objects, args.points
+    mask = np.zeros((b, h, w, oc), np.float32)
+    vertex = np.zeros((b, h, w, vn, 2), np.float32)
+    gt_kp = np.zeros((b, oc, vn, 2), np.float32)  # (x, y)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32) + 0.5,
+                         np.arange(w, dtype=np.float32) + 0.5, indexing="ij")
+    for bi in range(b):
+        for o in range(oc):
+            cy = int(rng.integers(16, h - 16))
+            cx = int(rng.integers(16, w - 16))
+            r = int(rng.integers(8, 14))
+            m = np.zeros((h, w), bool)
+            m[cy - r : cy + r, cx - r : cx + r] = True
+            mask[bi, :, :, o] = m
+            kp = np.stack(
+                [rng.uniform(cx - r, cx + r, vn), rng.uniform(cy - r, cy + r, vn)], axis=1
+            ).astype(np.float32)
+            gt_kp[bi, o] = kp
+            dx = kp[None, None, :, 0] - xs[:, :, None]
+            dy = kp[None, None, :, 1] - ys[:, :, None]
+            norm = np.sqrt(dx * dx + dy * dy) + 1e-9
+            dx, dy = dx / norm, dy / norm
+            if args.noise > 0:
+                ang = rng.normal(0.0, args.noise, (h, w, vn)).astype(np.float32)
+                ca, sa = np.cos(ang), np.sin(ang)
+                dx, dy = ca * dx - sa * dy, sa * dx + ca * dy
+            # vertex channels are (dy, dx): the layer reverses to (dx, dy)
+            # before matching (x, y) coords (ransac_voting.py:309).
+            vertex[bi, :, :, :, 0] = np.where(m[:, :, None], dy, vertex[bi, :, :, :, 0])
+            vertex[bi, :, :, :, 1] = np.where(m[:, :, None], dx, vertex[bi, :, :, :, 1])
+    out = ransac_voting_layer_all_masks(
+        mask, vertex, round_hyp_num=args.hyps, inlier_thresh=args.inlier_thresh,
+        max_iter=args.max_iter,
+    )
+    np.savez(
+        os.path.join(args.out, "ransac_fixture.npz"),
+        mask=mask, vertex=vertex, gt_kp=gt_kp, output=np.asarray(out),
+        hyps=args.hyps, inlier_thresh=args.inlier_thresh, max_iter=args.max_iter,
+        noise=args.noise,
+    )
+    print(json.dumps({"ok": True, "shape": list(np.asarray(out).shape), "noise": args.noise}))
+
+
+def cmd_bpnp(args):
+    """Dump the reference BPnP implicit-function gradients on a fixture.
+
+    Builds seeded (pts3d, K, GT pose), projects + perturbs to get pts2d,
+    solves PnP with the reference's cv2 path (bpnp_layers.py:88-117), then
+    evaluates ``pnp_gradient_efficient`` (bpnp_layers.py:138-212) with a
+    seeded upstream gradient. The JAX side evaluates its IFT vjp at the
+    SAME P_6d so the comparison isolates the backward pass.
+
+    Note the reference assembles its stationarity residual from the
+    ALGEBRAIC (depth-scaled) reprojection error while the solver optimizes
+    the geometric one; the two coincide as depth variation across points
+    goes to zero, so the fixture keeps the object depth spread small
+    (<2%) and the test band covers the residual difference.
+    """
+    _setup_env()
+    import numpy as np
+
+    from casapose.pose_estimation.bpnp_layers import pnp, pnp_gradient_efficient
+
+    rng = np.random.default_rng(17)
+    n, bs = args.points, args.batch
+    K = np.array([[320.0, 0, 160.0], [0, 320.0, 120.0], [0, 0, 1.0]], np.float32)
+    pts3d = rng.uniform(-0.004, 0.004, (n, 3)).astype(np.float32)  # ~1.6% depth spread at 0.5 m
+    pts2d = np.zeros((bs, n, 2), np.float32)
+    p6d = np.zeros((bs, 6), np.float32)
+    for b in range(bs):
+        rvec = rng.normal(0, 0.5, 3)
+        t = np.array([rng.uniform(-0.02, 0.02), rng.uniform(-0.02, 0.02), 0.5])
+        import cv2
+
+        Rm, _ = cv2.Rodrigues(rvec)
+        cam = pts3d @ Rm.T + t
+        uv = cam @ K.T
+        clean = (uv[:, :2] / uv[:, 2:]).astype(np.float32)
+        pts2d[b] = clean + rng.normal(0, args.noise, (n, 2)).astype(np.float32)
+        p6d[b] = pnp(pts3d, pts2d[b], K).reshape(6)
+    grad_out = rng.normal(0, 1.0, (bs, 6)).astype(np.float32)
+    gx, gz, gK, _ = pnp_gradient_efficient(
+        grad_out, pts2d, pts3d, K, p6d, batch_3d=False, batch_cam=False
+    )
+    np.savez(
+        os.path.join(args.out, "bpnp_fixture.npz"),
+        pts3d=pts3d, pts2d=pts2d, K=K, p6d=p6d, grad_out=grad_out,
+        grad_pts2d=np.asarray(gx), grad_pts3d=np.asarray(gz), grad_K=np.asarray(gK),
+    )
+    print(json.dumps({"ok": True, "batch": bs, "points": n}))
+
+
+def cmd_surgery(args):
+    """Run the reference's weight-surgery path and dump the surgered net.
+
+    Drives the ACTUAL copy functions inside train_casapose.py
+    (:352-447: copy_weights_segmentation / copy_clade_weights /
+    copy_weights_vertex) via runpy with ``--epochs 0`` (no training), then
+    saves the surgered network from the script's globals. Only the copied
+    slices are deterministic across frameworks (the rest is keras random
+    init), so the fixture also records the backup h5 the copies came from.
+    """
+    import runpy
+    import shutil
+
+    ref = _setup_env()
+    import numpy as np
+    import tensorflow as tf
+
+    from casapose.pose_models.tfkeras import Classifiers
+
+    out = args.out
+    ref_out = os.path.join(out, "ref_out")
+    os.makedirs(os.path.join(ref_out, "frozen_model"), exist_ok=True)
+    confidence_mode = args.mode == "confidence"
+    n_backup_obj = 2
+    n_obj = 2 if confidence_mode else 3
+    objects = ",".join(f"obj_{i:06d}" for i in range(1, n_obj + 1))
+    points = 9
+
+    tf.random.set_seed(0)
+    backup_ver = 2 * points + (0 if confidence_mode else points)
+    backup = Classifiers.get(args.model)(
+        ver_dim=backup_ver,
+        seg_dim=1 + n_backup_obj,
+        input_shape=(64, 64, 3),
+        weights=None,
+        base_model="resnet18",
+        input_segmentation_shape=None,
+    )
+    _seed_weights(backup)
+    backup.save_weights(os.path.join(out, "backup.h5"))
+    shutil.copyfile(os.path.join(out, "backup.h5"), os.path.join(ref_out, "frozen_model", "weights.h5"))
+    del backup
+    tf.keras.backend.clear_session()
+
+    import casapose.pose_models.models.resnet as ref_resnet
+
+    ref_resnet.load_model_weights = lambda *a, **k: None
+    if hasattr(tf.keras.optimizers, "legacy"):
+        tf.keras.optimizers.Adam = tf.keras.optimizers.legacy.Adam
+
+    csv = os.path.join(out, "objects_to_copy.csv")
+    with open(csv, "w") as f:
+        f.write("1,1\n2,2\n")
+
+    argv = [
+        os.path.join(ref, "train_casapose.py"),
+        "--data", "", "--datatest", "",
+        "--object", objects,
+        "--modelname", args.model, "--backbonename", "resnet18",
+        "--estimate_confidence", "1", "--estimate_coords", "1", "--no_points", str(points),
+        "--imagesize", "64", "64",
+        "--epochs", "0", "--manualseed", "11",
+        "--outf", ref_out, "--gpuids", "-1",
+    ]
+    if confidence_mode:
+        argv += ["--copy_weights_add_confidence_maps", "1", "--load_h5_filename", "weights"]
+    else:
+        argv += [
+            "--copy_weights_from_backup_network", "1", "--load_h5_filename", "weights",
+            "--objects_in_input_network", str(n_backup_obj), "--objects_to_copy_list", csv,
+        ]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        g = runpy.run_path(argv[0], run_name="__main__")
+    finally:
+        sys.argv = old_argv
+    g["net"].save_weights(os.path.join(out, "surgered.h5"))
+    print(json.dumps({"ok": True, "mode": args.mode, "objects": n_obj}))
+
+
+def cmd_train(args):
+    """Run the reference's ACTUAL training script on a synthetic scene.
+
+    Generates a deterministic NDDS scene (tools/synthetic_scene.py), builds
+    a seeded reference net, saves its h5, then executes
+    ``/root/reference/train_casapose.py`` under runpy with augmentation
+    disabled (identity imgaug stub, noise 0, rotation/translation 0,
+    full-image crop) so every step is a deterministic function of the
+    scene + h5. Per-step loss components land in
+    ``<out>/ref_out/loss_train.csv`` — the cross-framework train parity
+    fixture (reference train_casapose.py:40-145,494-691).
+
+    The scene and the h5 stay in the fixture dir so the JAX side trains on
+    the *same* files.
+    """
+    import runpy
+    import shutil
+
+    ref = _setup_env()
+    import tensorflow as tf
+
+    from synthetic_scene import OBJECTS, make_meshes, make_scene
+
+    out = args.out
+    mesh_root = os.path.join(out, "models")
+    data_root = os.path.join(out, "data")
+    ref_out = os.path.join(out, "ref_out")
+    make_meshes(mesh_root)
+    make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=args.images)
+    os.makedirs(os.path.join(ref_out, "frozen_model"), exist_ok=True)
+
+    from casapose.pose_models.tfkeras import Classifiers
+
+    tf.random.set_seed(0)
+    seg_dim = 1 + len(OBJECTS)
+    ver_dim = 2 * args.points + args.points  # confidence maps on
+    net = Classifiers.get(args.model)(
+        ver_dim=ver_dim,
+        seg_dim=seg_dim,
+        input_shape=(64, 64, 3),  # conv weights are input-size independent
+        weights=None,
+        base_model="resnet18",
+        input_segmentation_shape=None,
+    )
+    _seed_weights(net)
+    net.save_weights(os.path.join(out, "weights.h5"))
+    shutil.copyfile(os.path.join(out, "weights.h5"), os.path.join(ref_out, "frozen_model", "weights.h5"))
+    del net
+    tf.keras.backend.clear_session()
+
+    # Offline: skip the hard-coded weights="imagenet" download
+    # (train_casapose.py:324-331); the full seeded h5 overwrites everything
+    # right after (by_name load at :376).
+    import casapose.pose_models.models.resnet as ref_resnet
+
+    ref_resnet.load_model_weights = lambda *a, **k: None
+
+    # The reference calls optimizer._decayed_lr (train_casapose.py:752), a
+    # legacy-Optimizer-only method; point Adam at the legacy class (same
+    # update rule: m,v accumulators + sqrt(1-b2^t)/(1-b1^t) bias-corrected
+    # step with eps outside the sqrt).
+    if hasattr(tf.keras.optimizers, "legacy"):
+        tf.keras.optimizers.Adam = tf.keras.optimizers.legacy.Adam
+
+    script = os.path.join(ref, "train_casapose.py")
+    argv = [
+        script,
+        "--data", data_root, "--datatest", "", "--datameshes", mesh_root,
+        "--object", ",".join(OBJECTS),
+        "--modelname", args.model, "--backbonename", "resnet18",
+        "--estimate_confidence", "1", "--estimate_coords", "1", "--no_points", str(args.points),
+        "--imagesize", "240", "320", "--crop_factor", "1.0",
+        "--batchsize", str(args.images), "--epochs", str(args.steps),
+        "--loginterval", "1", "--saveinterval", "1000", "--validationinterval", "1000",
+        "--noise", "0.0", "--use_imgaug", "1", "--translation", "0", "--rotation", "0",
+        "--lr", "0.001", "--lr_decay", "1.0",
+        "--keypoint_loss_weight", "0.07",
+        "--load_h5_weights", "1", "--load_h5_filename", "weights",
+        "--train_vectors_with_ground_truth", "0",
+        "--outf", ref_out, "--gpuids", "-1", "--workers", "1", "--prefetch", "1",
+        "--manualseed", "3",
+    ] + ([t for t in args.extra.split(",") if t] if args.extra else [])
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path(script, run_name="__main__")
+    finally:
+        sys.argv = old_argv
+    assert os.path.exists(os.path.join(ref_out, "loss_train.csv"))
+    print(json.dumps({"ok": True, "steps": args.steps}))
+
+
+def cmd_batch(args):
+    """Run many oracle jobs in ONE process (single TF import).
+
+    ``--jobs`` is a JSON list of {"argv": [...], "out": dir}; each argv is
+    re-parsed through the same CLI, so every subcommand is batchable. This
+    is what keeps a cold parity-suite run tractable: the TF import +
+    process startup (~15 s) is paid once instead of per fixture.
+    """
+    with open(args.jobs) as f:
+        jobs = json.load(f)
+    parser = build_parser()
+    for job in jobs:
+        sub_args = parser.parse_args(job["argv"] + ["--out", job["out"]])
+        os.makedirs(job["out"], exist_ok=True)
+        sub_args.func(sub_args)
+
+
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -266,8 +564,56 @@ def main():
     v.add_argument("--filter", action="store_true")
     v.set_defaults(func=cmd_voting)
 
-    args = p.parse_args()
-    os.makedirs(args.out, exist_ok=True)
+    bp = sub.add_parser("bpnp")
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--points", type=int, default=9)
+    bp.add_argument("--batch", type=int, default=4)
+    bp.add_argument("--noise", type=float, default=2.0)
+    bp.set_defaults(func=cmd_bpnp)
+
+    sg = sub.add_parser("surgery")
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--model", default="casapose_c_gcu5")
+    sg.add_argument("--mode", choices=["expand", "confidence"], default="expand")
+    sg.set_defaults(func=cmd_surgery)
+
+    r = sub.add_parser("ransac")
+    r.add_argument("--out", required=True)
+    r.add_argument("--height", type=int, default=96)
+    r.add_argument("--width", type=int, default=128)
+    r.add_argument("--objects", type=int, default=3)
+    r.add_argument("--points", type=int, default=9)
+    r.add_argument("--batch", type=int, default=2)
+    r.add_argument("--hyps", type=int, default=128)
+    r.add_argument("--inlier-thresh", type=float, default=0.99)
+    r.add_argument("--max-iter", type=int, default=20)
+    r.add_argument("--noise", type=float, default=0.0)
+    r.set_defaults(func=cmd_ransac)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", default="casapose_c_gcu5")
+    t.add_argument("--out", required=True)
+    t.add_argument("--images", type=int, default=2)
+    t.add_argument("--steps", type=int, default=3)
+    t.add_argument("--points", type=int, default=9)
+    t.add_argument(
+        "--extra", default=None,
+        help="extra reference train flags, comma-joined (argparse cannot nest option-like tokens)",
+    )
+    t.set_defaults(func=cmd_train)
+
+    bt = sub.add_parser("batch")
+    bt.add_argument("--jobs", required=True, help="JSON list of {argv, out}")
+    bt.add_argument("--out", default=None)  # unused; per-job outs
+    bt.set_defaults(func=cmd_batch)
+
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
     args.func(args)
 
 
