@@ -137,7 +137,107 @@ def main():
         # lens: this CNN at stride-8 dilation is activation-traffic-bound).
         record["hbm_utilization_upper_bound"] = round(steps_per_sec * bytes_accessed / peak[1], 4)
         record["gflops_per_image"] = round(flops / BATCH / 1e9, 1)
+
+    try:
+        record.update(train_bench(peak))
+    except Exception as e:  # training bench is additive; never break the line
+        record["train_error"] = str(e)[:200]
     print(json.dumps(record))
+
+
+def train_bench(peak):
+    """Training-step throughput/MFU at the reference config (448^2, batch 8,
+    bf16 compute): full step = device finishing -> GT fields -> forward ->
+    voting -> kp loss -> composite loss -> grads -> Adam (VERDICT r2 4b/4d)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from casapose_tpu.core.optimizer import adam_tf
+    from casapose_tpu.losses.losses import LossWeights
+    from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from casapose_tpu.train import StepConfig, TrainState, build_model_from_opt, build_train_step
+
+    class Opt:
+        modelname = "casapose_c_gcu5"
+        backbonename = "resnet18"
+        no_points = 9
+        estimate_confidence = True
+        compute_dtype = os.environ.get("CASAPOSE_TRAIN_DTYPE", "bfloat16")
+
+    B = int(os.environ.get("CASAPOSE_TRAIN_BATCH", "8"))
+    h = w = 448
+    no_objects, k = 8, 9
+    model = build_model_from_opt(Opt(), no_objects)
+    rng = np.random.default_rng(0)
+    img0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    gt0 = jnp.zeros((1, h, w, 1 + no_objects), jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), img0, gt0)
+
+    mesh = make_mesh(batch_size=B)
+    tx = adam_tf(1e-3)
+    params = shard_params(mesh, variables["params"])
+    batch_stats = shard_params(mesh, variables.get("batch_stats", {}))
+    state = TrainState(params=params, batch_stats=batch_stats, opt_state=tx.init(params),
+                       step=jnp.zeros([], jnp.int32))
+    cfg = StepConfig(
+        no_objects=no_objects, no_points=k, estimate_confidence=True, estimate_coords=True,
+        train_vectors_with_ground_truth=True, use_bpnp_reprojection_loss=False,
+        confidence_regularization=True, separated_vectorfields=False, max_keypoint_pixel_error=12.5,
+        noise=0.0001, brightness=0.001, contrast=0.001, saturation=0.001, hue=0.001, use_imgaug=True,
+    )
+    step = build_train_step(model, tx, cfg, LossWeights(filter_vertex_with_segmentation=True))
+
+    labels = rng.integers(0, no_objects + 1, (B, h, w, 1)).astype(np.uint8)
+    batch = {
+        "img": rng.integers(0, 255, (B, h, w, 3)).astype(np.uint8),
+        "seg": labels,
+        "keypoints2d": rng.uniform(0, h, (B, no_objects, 1, k, 2)).astype(np.float32),
+        "keypoints3d": rng.uniform(-0.05, 0.05, (B, no_objects, 1, k, 3)).astype(np.float32),
+        "camera": np.tile(np.array([[572.0, 0, w / 2], [0, 572.0, h / 2], [0, 0, 1]], np.float32), (B, 1, 1)),
+        "diameters": np.full((B, no_objects, 1, 1), 0.1, np.float32),
+        "offsets": np.tile(np.array([0, 0, h, w, 0, 0, 0, 1.0, w, h], np.float32), (B, 1)),
+        "cuboid3d": np.zeros((B, no_objects, 1, 8, 3), np.float32),
+        "poses_gt": np.tile(
+            np.concatenate([np.eye(3, dtype=np.float32), [[0], [0], [0.8]]], axis=1), (B, no_objects, 1, 1, 1)
+        ),
+        "pixel_gt_count": np.full((B, no_objects, 1, 1), 100, np.float32),
+    }
+    dev_batch = shard_batch(mesh, batch)
+    rngk = jax.random.PRNGKey(0)
+
+    state, losses = step(state, dev_batch, rngk)
+    np.asarray(losses)
+    for _ in range(10):  # tunnel dispatch warmup (see memory: axon timing)
+        state, losses = step(state, dev_batch, rngk)
+    np.asarray(losses)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, dev_batch, rngk)
+    np.asarray(losses)
+    dt = (time.perf_counter() - t0) / iters
+
+    out = {
+        "train_images_per_sec": round(B / dt, 2),
+        "train_ms_per_step": round(dt * 1000.0, 1),
+        "train_batch": B,
+        "train_dtype": Opt.compute_dtype,
+    }
+    try:
+        ca = step.lower(state, dev_batch, rngk).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        tr_flops = float(ca.get("flops", 0.0))
+        tr_bytes = float(ca.get("bytes accessed", 0.0))
+        if peak and tr_flops:
+            out["train_mfu"] = round(tr_flops / dt / peak[0], 4)
+            out["train_hbm_utilization_upper_bound"] = round(tr_bytes / dt / peak[1], 4)
+            out["train_gflops_per_image"] = round(tr_flops / B / 1e9, 1)
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":

@@ -99,6 +99,7 @@ class VectorfieldDataset:
         separated_vectorfields=False,
         wxyz_quaterion_input=False,
         path_filter_root=None,
+        record_cache_dir=None,
     ):
         self.path_meshes = path_meshes
         self.no_points = no_points
@@ -124,6 +125,9 @@ class VectorfieldDataset:
         self.visibility_filter = visibility_filter
         self.separated_vectorfields = separated_vectorfields
         self.wxyz_quaterion_input = wxyz_quaterion_input
+        # Pre-decoded frame cache (pipeline.RecordCache): decouples PNG
+        # decode cost from the steady-state loader rate.
+        self.record_cache_dir = record_cache_dir
 
         self.meshes = self.load_meshes(path_meshes) if path_meshes else {}
         self.imgs = []

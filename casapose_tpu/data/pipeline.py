@@ -94,6 +94,61 @@ def _warp_crop_resize(img, seg, meta, imagesize, color):
     return img, seg
 
 
+class RecordCache:
+    """Pre-decoded frame cache: one uint8 ``.npy`` per frame (img ++ seg).
+
+    PNG decode dominates the host loader's per-sample cost (SURVEY §7
+    "preprocessed record format"); after the first epoch each frame is a
+    single contiguous ~1.2 MB read that the OS page cache serves from RAM.
+    Entries are keyed by (size, mtime) of BOTH source files, so editing a
+    dataset invalidates exactly the touched frames. Writes are atomic
+    (tmp + rename) so concurrent workers can share a cache directory.
+    """
+
+    def __init__(self, cache_dir):
+        import os
+
+        self.dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _key(self, index, img_path, seg_path):
+        import hashlib
+        import os
+
+        st_i = os.stat(img_path)
+        st_s = os.stat(seg_path)
+        h = hashlib.sha1(
+            f"{img_path}|{st_i.st_size}|{st_i.st_mtime_ns}|{st_s.st_size}|{st_s.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+        return os.path.join(self.dir, f"{index:07d}_{h}.npy")
+
+    def get(self, index, img_path, seg_path, decode):
+        """Return (img, seg); ``decode()`` supplies them on a cache miss."""
+        import os
+        import tempfile
+
+        path = self._key(index, img_path, seg_path)
+        if os.path.exists(path):
+            try:
+                arr = np.load(path)
+                return np.ascontiguousarray(arr[..., :-1]), np.ascontiguousarray(arr[..., -1])
+            except Exception:
+                pass  # corrupt entry: fall through to re-decode
+        img, seg = decode()
+        arr = np.concatenate([img, seg[..., None]], axis=-1)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".npy.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, path)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return img, seg
+
+
 def _remap_labels(seg, new_labels):
     """Raw segmentation ids -> contiguous object indices (0 = background)."""
     out = np.zeros_like(seg)
@@ -107,8 +162,9 @@ class BatchIterator:
     """Infinite epoch-aware iterator with a bounded prefetch queue."""
 
     def __init__(self, dataset, indices_per_epoch, batchsize, imagesize, cropratio, max_count, workers, prefetch,
-                 shuffle, seed):
+                 shuffle, seed, record_cache=None):
         self.dataset = dataset
+        self.record_cache = record_cache
         self.indices = indices_per_epoch
         self.batchsize = batchsize
         self.imagesize = imagesize
@@ -128,8 +184,14 @@ class BatchIterator:
         ds = self.dataset
         rng = np.random.default_rng(seed)
         path, name, txt, seg_path, path_raw = ds.imgs[index]
-        img = _decode_image(path, ds.color_input)
-        seg = _decode_seg(seg_path)
+        if self.record_cache is not None:
+            img, seg = self.record_cache.get(
+                index, path, seg_path,
+                lambda: (_decode_image(path, ds.color_input), _decode_seg(seg_path)),
+            )
+        else:
+            img = _decode_image(path, ds.color_input)
+            seg = _decode_seg(seg_path)
         if self._img_size_orig is None:
             self._img_size_orig = (img.shape[1], img.shape[0])
         meta = ds.preprocess_sample(
@@ -181,7 +243,7 @@ class BatchIterator:
 
 
 def make_dataset(dataset, batchsize, epochs, prefetch, imagesize, cropratio, worker, no_objects, shuffle=True,
-                 mirrored_strategy=None, seed=None):
+                 mirrored_strategy=None, seed=None, record_cache_dir=None):
     """Reference-compatible ``generate_dataset``: (iterator, epoch_batches)."""
     del mirrored_strategy  # sharding is handled by the jit step's mesh
     data_size = len(dataset.imgs) - (len(dataset.imgs) % batchsize)
@@ -190,6 +252,11 @@ def make_dataset(dataset, batchsize, epochs, prefetch, imagesize, cropratio, wor
         worker = 8
     if prefetch in (0, None):
         prefetch = 4
+    cache = None
+    if record_cache_dir is None:
+        record_cache_dir = getattr(dataset, "record_cache_dir", None)
+    if record_cache_dir:
+        cache = RecordCache(record_cache_dir)
     it = BatchIterator(
         dataset,
         list(range(data_size)),
@@ -201,6 +268,7 @@ def make_dataset(dataset, batchsize, epochs, prefetch, imagesize, cropratio, wor
         prefetch=prefetch,
         shuffle=shuffle,
         seed=seed,
+        record_cache=cache,
     )
     return it, epoch_batches
 

@@ -165,6 +165,11 @@ def run_evaluation(opt):
     # (validated against the reference harness in tests/test_reference_e2e.py).
     if getattr(opt, "matmul_precision", None):
         jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
+    # Persistent compile cache: repeated CLI runs skip the minutes-long
+    # cold compile over a remote TPU tunnel.
+    from casapose_tpu.core.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     os.makedirs(opt.evalf, exist_ok=True)
     objectsofinterest = [x.strip() for x in opt.object.split(",")]
@@ -192,10 +197,36 @@ def run_evaluation(opt):
         train_validation_split=opt.train_validation_split,
         separated_vectorfields=separated,
         wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
+        record_cache_dir=(
+            os.path.join(opt.outf, "record_cache", "eval") if getattr(opt, "cache_records", False) else None
+        ),
     )
+    B = max(int(getattr(opt, "batchsize_test", 1)), 1)
     testingdata, test_batches = test_dataset.generate_dataset(
-        1, 1, opt.prefetch, opt.imagesize_test, 1.0, opt.workers, no_objects, shuffle=False, seed=opt.manualseed
+        B, 1, opt.prefetch, opt.imagesize_test, 1.0, opt.workers, no_objects, shuffle=False, seed=opt.manualseed
     )
+    # Batched mode drops no images: the tail runs as one smaller batch at
+    # its own compiled shape, so metrics equal the batch-1 harness exactly.
+    tail = len(test_dataset.imgs) % B
+    tail_iterator = None
+    if tail:
+        from casapose_tpu.data.pipeline import BatchIterator, RecordCache
+
+        tail_iterator = BatchIterator(
+            test_dataset,
+            list(range(len(test_dataset.imgs) - tail, len(test_dataset.imgs))),
+            tail,
+            opt.imagesize_test,
+            1.0,
+            max_count=1,
+            workers=max(opt.workers, 1),
+            prefetch=2,
+            shuffle=False,
+            seed=opt.manualseed,
+            record_cache=(
+                RecordCache(test_dataset.record_cache_dir) if test_dataset.record_cache_dir else None
+            ),
+        )
     mesh_vertex_array, mesh_vertex_count = test_dataset.generate_object_vertex_array()
 
     model = build_model_from_opt(opt, no_objects)
@@ -251,13 +282,15 @@ def run_evaluation(opt):
             os.remove(f)
 
     test_loss = np.zeros(5)
+    total_images = 0
     sums = {k: np.zeros(no_objects) for k in ("v2d", "v3d", "gt", "fp", "e2d", "e3d", "missed")}
     times = []
 
     print(f"Test Batches: {test_batches}")
     profile_dir = getattr(opt, "profile_dir", None)
     prof_active = False
-    for batch_idx in range(int(test_batches)):
+    n_loop = int(test_batches) + (1 if tail_iterator is not None else 0)
+    for batch_idx in range(n_loop):
         if profile_dir:
             if batch_idx == 1 and not prof_active:  # skip the compile batch
                 jax.profiler.start_trace(profile_dir)
@@ -267,7 +300,9 @@ def run_evaluation(opt):
                 print(f"wrote profiler trace to {profile_dir}")
                 profile_dir = None
                 prof_active = False
-        batch = testingdata.get_next()
+        it = testingdata if batch_idx < int(test_batches) else tail_iterator
+        batch = it.get_next()
+        b_actual = batch["img"].shape[0]
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
         t0 = time.time()
         out = step(variables, dev_batch)
@@ -277,7 +312,10 @@ def run_evaluation(opt):
 
         losses = np.asarray(out["losses"])
         ps = [np.asarray(x) for x in out["pose_stats"]]
-        test_loss += losses
+        # Image-weighted loss average: identical to batch-1 accumulation
+        # for any batchsize_test, including a partial tail batch.
+        test_loss += losses * b_actual
+        total_images += b_actual
         sums["v2d"] += ps[0]
         sums["v3d"] += ps[1]
         sums["gt"] += ps[2]
@@ -296,21 +334,23 @@ def run_evaluation(opt):
             print(
                 f"Batch idx: {batch_idx}, Loss: {losses[0]:.5f} --- mask: {losses[1]:.5f}, "
                 f"vector: {losses[2]:.5f}, proxy: {losses[3]:.5f}, kp: {losses[4]:.5f} "
-                f"-- Average Loss: {test_loss[0] / (batch_idx + 1):.5f}"
+                f"-- Average Loss: {test_loss[0] / max(total_images, 1):.5f}"
             )
             print(f"Test Sum GT: {sums['gt']}")
             print(f"Test Sum 2D: {sums['v2d']}")
             print(f"Test Sum 3D: {sums['v3d']}")
 
         if opt.write_poses:
-            write_poses(
-                batch["poses_gt"][0],
-                np.asarray(out["estimated_poses"])[0],
-                objectsofinterest,
-                batch["image_id"][0],
-                os.path.join(opt.evalf, "poses_out") + "/",
-                time_needed=dt,  # per-image step time (BOP csv time column)
-            )
+            est_poses_np = np.asarray(out["estimated_poses"])
+            for bi in range(b_actual):
+                write_poses(
+                    batch["poses_gt"][bi],
+                    est_poses_np[bi],
+                    objectsofinterest,
+                    batch["image_id"][bi],
+                    os.path.join(opt.evalf, "poses_out") + "/",
+                    time_needed=dt / b_actual,  # per-image step time (BOP csv time column)
+                )
         if opt.save_eval_batches:
             from casapose_tpu.utils.visualization import (
                 save_eval_batch,
@@ -360,7 +400,10 @@ def run_evaluation(opt):
         jax.profiler.stop_trace()
         print(f"wrote profiler trace to {profile_dir}")
 
-    test_loss /= max(int(test_batches), 1)
+    testingdata.close()
+    if tail_iterator is not None:
+        tail_iterator.close()
+    test_loss /= max(total_images, 1)
     with np.errstate(divide="ignore", invalid="ignore"):
         err_2d = np.nan_to_num(sums["v2d"] / sums["gt"])
         err_3d = np.nan_to_num(sums["v3d"] / sums["gt"])

@@ -316,6 +316,11 @@ def run_training(opt):
     # Match the f32 reference numerics (see utils/config.py --matmul_precision).
     if getattr(opt, "matmul_precision", None):
         jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
+    # Persistent compile cache: repeated CLI runs skip the minutes-long
+    # cold compile over a remote TPU tunnel.
+    from casapose_tpu.core.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     checkpoint_path = os.path.join(opt.outf, opt.net)
     frozen_path = os.path.join(opt.outf, "frozen_model")
     for p in (opt.outf, checkpoint_path, frozen_path):
@@ -352,6 +357,9 @@ def run_training(opt):
         hue=opt.hue,
         saturation=opt.saturation,
         wxyz_quaterion_input=opt.data_wxyz_quaterion,
+        record_cache_dir=(
+            os.path.join(opt.outf, "record_cache", "train") if getattr(opt, "cache_records", False) else None
+        ),
     )
     trainingdata, train_batches = train_dataset.generate_dataset(
         opt.batchsize, opt.epochs, opt.prefetch, opt.imagesize, opt.crop_factor, opt.workers, no_objects,
@@ -384,6 +392,9 @@ def run_training(opt):
             random_crop=False,
             separated_vectorfields=separated,
             wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
+            record_cache_dir=(
+                os.path.join(opt.outf, "record_cache", "test") if getattr(opt, "cache_records", False) else None
+            ),
         )
         testingdata, test_batches = test_dataset.generate_dataset(
             opt.batchsize, opt.epochs, opt.prefetch, opt.imagesize, opt.crop_factor, opt.workers, no_objects,

@@ -89,6 +89,25 @@ def build_parser():
         "halves training step time on TPU; float32 matches the TF reference bit-for-bit.",
     )
     parser.add_argument(
+        "--batchsize_test",
+        type=int,
+        default=1,
+        help="evaluation batch size. The reference harness is structurally batch-1 "
+        "(test_casapose.py:155-184); batching the jit eval step is the TPU-first throughput win. "
+        "Metrics are identical to batch-1 (summary counters are image sums; the loss average is "
+        "image-weighted; a partial tail batch runs at its own shape). loss_test_eval.csv gets one "
+        "row per BATCH in batched mode.",
+    )
+    parser.add_argument(
+        "--cache_records",
+        type=str2bool,
+        default=True,
+        help="cache decoded dataset frames as uint8 npy under <outf>/record_cache (first epoch "
+        "decodes, later epochs read ~1 MB contiguous files the OS page cache serves from RAM; "
+        "entries auto-invalidate when source files change). TPU-first addition: keeps the host "
+        "loader ahead of the accelerator.",
+    )
+    parser.add_argument(
         "--matmul_precision",
         default="highest",
         choices=["default", "high", "highest"],

@@ -90,3 +90,54 @@ def test_keypoint_projection_consistency(synthetic_dataset):
         proj = _project(kp3d.astype(np.float64), pose.astype(np.float64))  # (x, y)
         got = batch["keypoints2d"][0, oi, 0][:, ::-1]  # (y, x) -> (x, y)
         np.testing.assert_allclose(got, proj, atol=0.1)
+
+
+def test_record_cache_roundtrip_and_invalidation(synthetic_dataset, tmp_path):
+    """RecordCache: hit returns identical arrays; stale entries invalidate."""
+    import time
+
+    from casapose_tpu.data.pipeline import RecordCache, _decode_image, _decode_seg
+
+    data_root, _ = synthetic_dataset
+    img_path = os.path.join(data_root, "000000", "000000.png")
+    seg_path = os.path.join(data_root, "000000", "000000.seg.png")
+    cache = RecordCache(str(tmp_path / "rc"))
+    calls = []
+
+    def decode():
+        calls.append(1)
+        return _decode_image(img_path, True), _decode_seg(seg_path)
+
+    img1, seg1 = cache.get(0, img_path, seg_path, decode)
+    img2, seg2 = cache.get(0, img_path, seg_path, decode)
+    assert len(calls) == 1, "second access must be served from cache"
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(seg1, seg2)
+
+    # touching the source invalidates the entry (key includes mtime/size)
+    time.sleep(0.01)
+    os.utime(img_path)
+    cache.get(0, img_path, seg_path, decode)
+    assert len(calls) == 2, "stale cache entry must be re-decoded"
+
+
+def test_loader_with_record_cache_matches_uncached(synthetic_dataset, tmp_path):
+    """The cached pipeline emits byte-identical batches."""
+    data_root, mesh_root = synthetic_dataset
+
+    def batches(cache_dir):
+        ds = VectorfieldDataset(
+            root=data_root, path_meshes=mesh_root, objectsofinterest=OBJECTS, random_crop=False,
+            random_translation=(0, 0), random_rotation=0, record_cache_dir=cache_dir,
+        )
+        it, _ = ds.generate_dataset(2, 1, 2, (IMG_H, IMG_W), 1.0, 1, len(OBJECTS), shuffle=False, seed=0)
+        b = it.get_next()
+        it.close()
+        return b
+
+    plain = batches(None)
+    warm = batches(str(tmp_path / "rc2"))  # first pass fills
+    cached = batches(str(tmp_path / "rc2"))  # second pass reads
+    for k in plain:
+        np.testing.assert_array_equal(plain[k], warm[k], err_msg=k)
+        np.testing.assert_array_equal(plain[k], cached[k], err_msg=k)

@@ -48,7 +48,9 @@ VARIANTS = {
 def _train_argv(extra, steps=STEPS):
     argv = ["train", "--steps", str(steps)]
     if extra:
-        argv += ["--extra", ",".join(extra)]
+        # --extra=VALUE form: the value starts with '-', which argparse
+        # would otherwise read as an option.
+        argv += ["--extra=" + ",".join(extra)]
     return argv
 
 
@@ -122,12 +124,15 @@ def test_train_step_parity(variant, tmp_path):
     # Step 1 is pure forward+loss parity (identical weights on both sides):
     # tight bands — observed agreement is 1e-6..1e-4 relative. The bpnp
     # variant's keypoint loss embeds a pose solve (host cv2 vs on-device
-    # EPnP+LM), so only it gets a looser step-1 kp band.
-    kp1_tol = 0.05 if variant == "bpnp" else 2e-3
+    # EPnP+LM on garbage voted coords -> different clamped local minima;
+    # observed ~6%), so it gets looser kp AND total bands (the total
+    # inherits the kp difference through its 0.07 weight).
+    kp1_tol, total1_tol = (0.10, 0.03) if variant == "bpnp" else (2e-3, 2e-3)
     rel1 = np.abs(ours[0] - ref[0]) / np.maximum(np.abs(ref[0]), 1e-6)
-    assert rel1[:4].max() < 2e-3, (
+    assert rel1[1:4].max() < 2e-3, (
         f"{variant} step-1 forward/loss parity: ours {ours[0]} vs ref {ref[0]} (rel {rel1})"
     )
+    assert rel1[0] < total1_tol, f"{variant} step-1 total loss: rel {rel1[0]}"
     assert rel1[4] < kp1_tol, f"{variant} step-1 keypoint loss: rel {rel1[4]}"
 
     # Steps 2-3 fold in gradient + Adam-update parity. Adam's first steps
@@ -189,20 +194,35 @@ def test_one_step_weight_parity(tmp_path):
     lr = 1e-3
     flat_ours = jax.tree_util.tree_leaves_with_path(ours)
     flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_vars))
-    worst = []
+    n_big_total = n_total = 0
     for path, a in flat_ours:
         b = flat_ref[path]
         d = np.abs(np.asarray(a) - np.asarray(b)).ravel()
         # every entry moved at most ~2*lr apart (opposite full Adam steps)
         assert d.max() < 3 * lr, f"{jax.tree_util.keystr(path)}: max dev {d.max()}"
-        # systematic gradient errors shift most entries by ~2*lr; roundoff
-        # sign flips only touch isolated near-zero-gradient entries.
-        frac_big = float((d > lr).mean())
-        worst.append((frac_big, jax.tree_util.keystr(path)))
-        assert frac_big < 0.02, (
-            f"{jax.tree_util.keystr(path)}: {frac_big:.1%} of entries deviate > lr "
+        # A systematic gradient error (sign/scale/wiring) shifts MOST of a
+        # tensor by ~2*lr: the median lands near 2*lr and the big-deviation
+        # fraction near 100%. Cross-framework reduction roundoff only flips
+        # near-zero-gradient entries (measured: worst tensor is an early BN
+        # bias, whose gradient is a batch*H*W-sized sum, at ~2.5% flips).
+        med = float(np.median(d))
+        assert med < 0.2 * lr, f"{jax.tree_util.keystr(path)}: median dev {med}"
+        n_big = int((d > lr).sum())
+        n_big_total += n_big
+        n_total += d.size
+        # count floor: BN bias vectors are small (64-512) and their
+        # gradients are batch*H*W-sized sums, so they carry the most
+        # near-zero entries (measured: up to ~14 flips); a systematic
+        # error flips ~the whole tensor.
+        assert n_big <= max(20, 0.05 * d.size), (
+            f"{jax.tree_util.keystr(path)}: {n_big}/{d.size} entries deviate > lr "
             f"(systematic gradient mismatch)"
         )
+    # Globally, flips must stay the minority phenomenon they are: measured
+    # 1.8% (the same f32 accumulation drift the forward-parity tests see
+    # at 1e-4..5e-2 through 30 layers, mirrored into the gradients). A
+    # systematic gradient error moves this to ~100%.
+    assert n_big_total / n_total < 0.03, f"{n_big_total}/{n_total} entries deviate > lr"
 
 
 def test_train_fixture_metadata():

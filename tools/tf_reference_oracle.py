@@ -288,6 +288,99 @@ def cmd_ransac(args):
     print(json.dumps({"ok": True, "shape": list(np.asarray(out).shape), "noise": args.noise}))
 
 
+def cmd_eval(args):
+    """Run the reference's ACTUAL eval harness (test_casapose.py) on a
+    synthetic scene, capturing its CSVs and summary output as a fixture.
+
+    Same pattern as ``train``: deterministic scene + seeded h5, runpy of
+    the real script, everything persisted in the fixture dir so the JAX
+    harness evaluates the identical inputs. ``--coords 0`` exercises the
+    RANSAC/pvnet pose path (reference pose_evaluation.py:11-101) that the
+    LS-voting e2e comparison never touches (VERDICT r2 item 2b).
+    """
+    import runpy
+    import shutil
+
+    ref = _setup_env()
+    import tensorflow as tf
+
+    from synthetic_scene import OBJECTS, make_meshes, make_scene
+
+    out = args.out
+    mesh_root = os.path.join(out, "models")
+    data_root = os.path.join(out, "data")
+    ref_out = os.path.join(out, "ref_out")
+    ref_eval = os.path.join(out, "ref_eval")
+    make_meshes(mesh_root)
+    make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=args.images)
+    os.makedirs(os.path.join(ref_out, "frozen_model"), exist_ok=True)
+
+    from casapose.pose_models.tfkeras import Classifiers
+
+    tf.random.set_seed(0)
+    n_obj = len(OBJECTS)
+    confidence = bool(args.confidence)
+    ver_dim = 2 * args.points
+    if args.model == "pvnet":
+        ver_dim *= n_obj
+    if confidence:
+        ver_dim += args.points
+    net = Classifiers.get(args.model)(
+        ver_dim=ver_dim,
+        seg_dim=1 + n_obj,
+        input_shape=(64, 64, 3),
+        weights=None,
+        base_model="resnet18",
+        input_segmentation_shape=None,
+    )
+    _seed_weights(net)
+    net.save_weights(os.path.join(out, "weights.h5"))
+    shutil.copyfile(os.path.join(out, "weights.h5"), os.path.join(ref_out, "frozen_model", "weights.h5"))
+    del net
+    tf.keras.backend.clear_session()
+
+    import casapose.pose_models.models.resnet as ref_resnet
+
+    ref_resnet.load_model_weights = lambda *a, **k: None
+
+    argv = [
+        os.path.join(ref, "test_casapose.py"),
+        "--data", data_root + "_none",  # != datatest: no validation split
+        "--datatest", data_root, "--datameshes", mesh_root,
+        "--object", ",".join(OBJECTS), "--modelname", args.model,
+        "--backbonename", "resnet18",
+        "--estimate_confidence", str(int(confidence)),
+        "--estimate_coords", str(args.coords), "--no_points", str(args.points),
+        "--imagesize_test", "240", "320", "--train_vectors_with_ground_truth", "0",
+        "--load_h5_weights", "1", "--load_h5_filename", "weights",
+        "--outf", ref_out, "--evalf", ref_eval, "--min_object_size_test", "1",
+        "--workers", "1", "--prefetch", "1", "--manualseed", "3",
+    ] + ([t for t in args.extra.split(",") if t] if args.extra else [])
+    # tf.print writes to the C-level stderr: capture the summary metrics
+    # ("2D Valid (mean): ...") with an fd-level redirect.
+    log_path = os.path.join(out, "ref_log.txt")
+    old_argv = sys.argv
+    sys.argv = argv
+    old_out, old_err = os.dup(1), os.dup(2)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    with open(log_path, "w") as logf:
+        os.dup2(logf.fileno(), 1)
+        os.dup2(logf.fileno(), 2)
+        try:
+            runpy.run_path(argv[0], run_name="__main__")
+        finally:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.dup2(old_out, 1)
+            os.dup2(old_err, 2)
+            os.close(old_out)
+            os.close(old_err)
+            sys.argv = old_argv
+    assert os.path.exists(os.path.join(ref_eval, "loss_test_eval.csv"))
+    print(json.dumps({"ok": True, "model": args.model, "coords": args.coords}))
+
+
 def cmd_bpnp(args):
     """Dump the reference BPnP implicit-function gradients on a fixture.
 
@@ -563,6 +656,16 @@ def build_parser():
     v.add_argument("--batch", type=int, default=2)
     v.add_argument("--filter", action="store_true")
     v.set_defaults(func=cmd_voting)
+
+    ev = sub.add_parser("eval")
+    ev.add_argument("--model", default="casapose_c_gcu5")
+    ev.add_argument("--out", required=True)
+    ev.add_argument("--images", type=int, default=3)
+    ev.add_argument("--points", type=int, default=9)
+    ev.add_argument("--coords", type=int, default=1)
+    ev.add_argument("--confidence", type=int, default=1)
+    ev.add_argument("--extra", default=None, help="extra reference eval flags, comma-joined")
+    ev.set_defaults(func=cmd_eval)
 
     bp = sub.add_parser("bpnp")
     bp.add_argument("--out", required=True)
