@@ -114,6 +114,7 @@ def main():
         ds = VectorfieldDataset(
             root=data_root, path_meshes=meshes, objectsofinterest=objects, no_points=k,
             color_input=True, random_crop=False, random_translation=(0, 0), random_rotation=0,
+            record_cache_dir=os.environ.get("CASAPOSE_TRAIN_CACHE"),
         )
         it, nb = make_dataset(ds, B, 1000, 4, [h, w], 1.0, 8, len(objects), shuffle=True, seed=0)
 

@@ -27,14 +27,34 @@ def _write_ply(path, verts):
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
 
 
-def _make_bop_dataset(root):
+_CUBE_QUADS = [[0, 1, 3, 2], [4, 5, 7, 6], [0, 1, 5, 4], [2, 3, 7, 6], [0, 2, 6, 4], [1, 3, 7, 5]]
+
+
+def _write_cube_ply(path, side):
+    """Closed cube as quad faces (exercises the loader's fan triangulation)."""
+    s = side / 2.0
+    corners = [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write("element vertex 8\nproperty float x\nproperty float y\nproperty float z\n")
+        f.write("element face 6\nproperty list uchar int vertex_indices\nend_header\n")
+        for v in corners:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for q in _CUBE_QUADS:
+            f.write("4 " + " ".join(str(i) for i in q) + "\n")
+
+
+def _make_bop_dataset(root, cube_models=False):
     rng = np.random.default_rng(0)
     models = os.path.join(root, "models")
     os.makedirs(models, exist_ok=True)
     info = {}
     for oid in OBJ_IDS:
-        verts = rng.uniform(-30, 30, (60, 3))
-        _write_ply(os.path.join(models, f"obj_{oid:06d}.ply"), verts)
+        if cube_models:
+            _write_cube_ply(os.path.join(models, f"obj_{oid:06d}.ply"), 60.0)
+        else:
+            verts = rng.uniform(-30, 30, (60, 3))
+            _write_ply(os.path.join(models, f"obj_{oid:06d}.ply"), verts)
         _write_ply(os.path.join(models, f"obj_{oid:06d}_keypoints.ply"), rng.uniform(-25, 25, (9, 3)))
         info[str(oid)] = {"diameter": 80.0}
     with open(os.path.join(models, "models_info.json"), "w") as f:
@@ -138,3 +158,38 @@ def test_convert_and_load_round_trip(tmp_path):
     kp2d = np.asarray(batch["keypoints2d"])[0, :, 0, :, ::-1]
     for j, obj in enumerate(gt["objects"]):
         np.testing.assert_allclose(kp2d[j], np.asarray(obj["keypoints_2d"]), atol=1e-3)
+
+
+def test_convert_render_mask_mode(tmp_path):
+    """"render" mask mode: z-buffer rendered ids match the analytic cube
+    projections (reference dataset_converter.py:64-96, mask == "render")."""
+    from dataset_converter import generate_data
+
+    src = str(tmp_path / "bop")
+    dst = str(tmp_path / "ndds")
+    os.makedirs(src)
+    poses = _make_bop_dataset(src, cube_models=True)
+    settings = {"width": W, "height": H, "filetype_in": "png", "mask": "render",
+                "copy_meshes": False, "near": 100, "far": 2000}
+    generate_data(src, dst, settings)
+
+    s = 30.0  # cube half-side
+    corners = np.array([[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)])
+    for img_i in range(2):
+        seg = np.asarray(Image.open(
+            os.path.join(dst, "train_pbr", "000000", "rgb", f"{img_i:06d}.seg.png")))
+        assert set(np.unique(seg)) <= {0} | set(OBJ_IDS)
+        for oid in OBJ_IDS:
+            R, t = poses[(img_i, oid)]
+            cam = corners @ R.T + t
+            uv = cam @ K.T
+            uv = uv[:, :2] / uv[:, 2:]
+            ys, xs = np.nonzero(seg == oid)
+            assert len(ys) > 50, f"object {oid} missing from rendered mask"
+            # every rendered pixel lies inside the projected cube's hull bbox
+            assert xs.min() >= np.floor(uv[:, 0].min()) - 1 and xs.max() <= np.ceil(uv[:, 0].max()) + 1
+            assert ys.min() >= np.floor(uv[:, 1].min()) - 1 and ys.max() <= np.ceil(uv[:, 1].max()) + 1
+            # and fills most of it (a cube's silhouette covers >=2/3 of its bbox
+            # area minus what the other object occludes; use a loose floor)
+            bbox_area = (uv[:, 0].max() - uv[:, 0].min()) * (uv[:, 1].max() - uv[:, 1].min())
+            assert len(ys) > 0.25 * bbox_area

@@ -4,13 +4,14 @@
 Produces the NDDS-style trees ``VectorfieldDataset`` consumes from a
 BOP-format dataset: per-image GT JSON (projected keypoints / cuboids, poses
 as xyzw quaternions, pixel counts), ``_camera_settings.json`` /
-``_object_settings.json`` per scene, and integer segmentation masks merged
-from the BOP ``mask_visib`` images ("reuse" mode — the mode every shipped
-prepare_data path uses; depth-rendered masks would need an offline renderer
-and are not provided).
+``_object_settings.json`` per scene, and integer segmentation masks —
+either merged from the BOP ``mask_visib`` images ("reuse" mode, the mode
+every shipped prepare_data path uses) or depth-rendered from the object
+meshes ("render" mode, via the dependency-free z-buffer rasterizer in
+``casapose_tpu.data.raster`` instead of the reference's pyrender/OpenGL).
 
 Covers the capability of the reference's util_scripts/dataset_converter.py
-(BOP parsing :278-326, NDDS json :147-212, settings :98-144, masks :51-61)
+(BOP parsing :278-326, NDDS json :147-212, settings :98-144, masks :51-96)
 with this module's own pipeline structure:
 
     MeshCatalog      id -> keypoints/OBB/fixed-transform records,
@@ -41,7 +42,8 @@ from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from casapose_tpu.data.mesh import load_mesh_vertices  # noqa: E402
+from casapose_tpu.data.mesh import load_mesh, load_mesh_vertices  # noqa: E402
+from casapose_tpu.data.raster import render_id_mask  # noqa: E402
 from casapose_tpu.pose.geometry import (  # noqa: E402
     create_transformation_matrix_np,
     get_horizontal_width_angle_np,
@@ -57,8 +59,10 @@ class ConvertOptions:
     width: int = 640
     height: int = 480
     filetype_in: str = "png"
-    mask: str = "reuse"  # "reuse" merges BOP mask_visib; "render" unsupported
+    mask: str = "reuse"  # "reuse" merges BOP mask_visib; "render" z-buffers the meshes
     copy_meshes: bool = False
+    near: float = 100.0  # render-mode clip planes, mm (reference prepare_data.py:180-181)
+    far: float = 2000.0
 
     @classmethod
     def from_settings(cls, settings: Dict) -> "ConvertOptions":
@@ -125,6 +129,7 @@ class MeshCatalog:
                 "center": (np.max(keypoints, 0) + np.min(keypoints, 0)) / 2.0,
                 "used": 0,
                 "fixed_model_transform": np.eye(4),
+                "mesh_file": mesh_file,
             }
             if copy_meshes:
                 dst = os.path.join(out_path, name)
@@ -138,6 +143,13 @@ class MeshCatalog:
     def reset_usage(self):
         for e in self.entries.values():
             e["used"] = 0
+
+    def render_mesh(self, obj_id):
+        """(vertices, faces) for z-buffer mask rendering, loaded lazily."""
+        entry = self.entries[obj_id]
+        if "render_mesh" not in entry:
+            entry["render_mesh"] = load_mesh(entry["mesh_file"])
+        return entry["render_mesh"]
 
     def write_object_settings(self, path: str):
         """NDDS ``_object_settings.json`` for the objects seen in a scene."""
@@ -324,9 +336,14 @@ def convert_scene(scene_dir: str, out_dir: str, catalog: MeshCatalog, opts: Conv
                 os.path.join(rgb_out, stem + ".seg.png"),
             )
         elif opts.mask == "render":
-            raise NotImplementedError(
-                "render-mode masks need an offline renderer; all shipped dataset flows use 'reuse'"
+            known = [rec for rec in entry["objects"] if rec["id"] in catalog.entries]
+            mask = render_id_mask(
+                [catalog.render_mesh(rec["id"]) for rec in known],
+                [(rec["R"], np.asarray(rec["t"], np.float64)) for rec in known],
+                [rec["id"] for rec in known],
+                entry["cam_mat"], opts.width, opts.height, opts.near, opts.far,
             )
+            Image.fromarray(mask).save(os.path.join(rgb_out, stem + ".seg.png"))
     catalog.write_object_settings(os.path.join(rgb_out, "_object_settings.json"))
 
 
