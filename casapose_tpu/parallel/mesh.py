@@ -59,14 +59,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with batch-dim sharding over ``data``."""
+def shard_batch(mesh: Mesh, batch, multihost: Optional[bool] = None):
+    """Place a pytree of host arrays with batch-dim sharding over ``data``.
+
+    Single-host: a plain ``device_put`` with the sharded layout. Multi-host
+    (``jax.process_count() > 1``, SURVEY §5.8): each process passes only its
+    LOCAL slice of the global batch (global batch = local batch x process
+    count, loaders seeded per process) and the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — no host gathers, each
+    host feeds exactly the devices it owns. ``multihost`` forces the path
+    (used by tests; on one process both paths must agree).
+    """
     sh = batch_sharding(mesh)
+    if multihost is None:
+        multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         if x.dtype.kind in ("U", "S", "O"):  # strings stay host-side
             return x
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
