@@ -111,23 +111,29 @@ class RecordCache:
         self.dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
 
-    def _key(self, index, img_path, seg_path):
+    def _key(self, index, img_path, seg_path, params):
         import hashlib
         import os
 
         st_i = os.stat(img_path)
         st_s = os.stat(seg_path)
         h = hashlib.sha1(
-            f"{img_path}|{st_i.st_size}|{st_i.st_mtime_ns}|{st_s.st_size}|{st_s.st_mtime_ns}".encode()
+            f"{img_path}|{params}|{st_i.st_size}|{st_i.st_mtime_ns}|{st_s.st_size}|{st_s.st_mtime_ns}".encode()
         ).hexdigest()[:12]
         return os.path.join(self.dir, f"{index:07d}_{h}.npy")
 
-    def get(self, index, img_path, seg_path, decode):
-        """Return (img, seg); ``decode()`` supplies them on a cache miss."""
+    def get(self, index, img_path, seg_path, decode, params=""):
+        """Return (img, seg); ``decode()`` supplies them on a cache miss.
+
+        ``params`` must encode every decode option that changes the stored
+        bytes (e.g. the color/grayscale flag) so option changes re-decode
+        instead of serving a stale layout.
+        """
+        import glob
         import os
         import tempfile
 
-        path = self._key(index, img_path, seg_path)
+        path = self._key(index, img_path, seg_path, params)
         if os.path.exists(path):
             try:
                 arr = np.load(path)
@@ -136,6 +142,13 @@ class RecordCache:
                 pass  # corrupt entry: fall through to re-decode
         img, seg = decode()
         arr = np.concatenate([img, seg[..., None]], axis=-1)
+        # drop superseded entries for this frame (old mtime/params keys) so
+        # the cache holds at most one record per frame
+        for stale in glob.glob(os.path.join(self.dir, f"{index:07d}_*.npy")):
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".npy.tmp")
         try:
             with os.fdopen(fd, "wb") as f:
@@ -188,6 +201,7 @@ class BatchIterator:
             img, seg = self.record_cache.get(
                 index, path, seg_path,
                 lambda: (_decode_image(path, ds.color_input), _decode_seg(seg_path)),
+                params=f"color={int(bool(ds.color_input))}",
             )
         else:
             img = _decode_image(path, ds.color_input)

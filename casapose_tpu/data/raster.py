@@ -74,7 +74,7 @@ def render_depth(vertices, faces, K, R, t, width, height, near=100.0, far=2000.0
     extent = np.maximum(j1 - j0, i1 - i0) + 1
 
     flat = zbuf.reshape(-1)
-    bounds = (1,) + _GROUP_SIZES
+    bounds = (0,) + _GROUP_SIZES  # extent >= 1 always; bucket 0 takes 1..4
     for g, G in enumerate(_GROUP_SIZES):
         sel = np.nonzero((extent > bounds[g]) & (extent <= G))[0]
         chunk = max(_CHUNK_SAMPLES // (G * G), 1)

@@ -145,6 +145,14 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
     return step
 
 
+def _cache_records_enabled(opt) -> bool:
+    """--cache_records unset (None) means OFF for evaluation: a single-pass
+    eval gains nothing from writing GBs of decoded frames under outf. Pass
+    --cache_records 1 to opt in for repeated-eval workflows."""
+    v = getattr(opt, "cache_records", None)
+    return bool(v) if v is not None else False
+
+
 def _host_prepare(batch, seg_dim, opt):
     """Normalized image + one-hot target seg for host-side visual dumps."""
     img, tseg = prepare_device_batch(
@@ -198,7 +206,7 @@ def run_evaluation(opt):
         separated_vectorfields=separated,
         wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
         record_cache_dir=(
-            os.path.join(opt.outf, "record_cache", "eval") if getattr(opt, "cache_records", False) else None
+            os.path.join(opt.outf, "record_cache", "eval") if _cache_records_enabled(opt) else None
         ),
     )
     B = max(int(getattr(opt, "batchsize_test", 1)), 1)
@@ -325,6 +333,9 @@ def run_evaluation(opt):
         sums["missed"] += ps[6]
 
         with open(os.path.join(opt.evalf, "loss_test_eval.csv"), "a") as f:
+            # format parity with the reference quirk: its rows carry 7 values
+            # (the 7th = time) under the 10-column weights header
+            # (test_casapose.py:240-242 vs :488-491)
             f.write(
                 "{},{:.15f},{:.7f},{:.7f},{:.7f},{:.7f},{:.7f}\n".format(
                     batch_idx + 1, losses[0], losses[1], losses[2], losses[3], losses[4], dt
@@ -374,27 +385,35 @@ def run_evaluation(opt):
                 add_correct=ps[1],
                 batch_idx=batch_idx,
             )
-            # Per-image folder like the reference (dataset_utils.py:341-345).
-            raw_id = np.asarray(batch["image_id"]).reshape(-1)[0]
-            img_name = raw_id.decode("utf-8") if isinstance(raw_id, bytes) else str(raw_id)
-            img_dir = os.path.join(visual_root, img_name)
-            img0, tseg0 = _host_prepare(batch, 1 + no_objects, opt)
-            save_pose_comparison(
-                img0[0],
-                np.asarray(out["estimated_poses"])[0],
-                batch["poses_gt"][0],
-                batch["cuboid3d"][0],
-                batch["keypoints3d"][0],
-                batch["camera"][0],
-                batch["offsets"][0],
-                path_out=img_dir,
-                add_correct=ps[1],
-                draw_reprojection=True,
-            )
-            save_proxy_error_maps(
-                np.asarray(out["proxy_dist"])[0], tseg0[0], img_dir, no_features=opt.no_points
-            )
-            save_mask_by_proxy_loss(np.asarray(out["proxy_per_object"])[0], tseg0[0], img_dir)
+            # Per-image folder like the reference (dataset_utils.py:341-345),
+            # one per image also in batched mode. add_correct is the batch's
+            # aggregated 3D-valid counter (per-image correctness is exact at
+            # --batchsize_test 1, the reference's configuration).
+            imgs_h, tseg_h = _host_prepare(batch, 1 + no_objects, opt)
+            est_poses_h = np.asarray(out["estimated_poses"])
+            proxy_dist_h = np.asarray(out["proxy_dist"])
+            proxy_obj_h = np.asarray(out["proxy_per_object"])
+            ids = np.asarray(batch["image_id"]).reshape(-1)
+            for bi in range(b_actual):
+                raw_id = ids[bi]
+                img_name = raw_id.decode("utf-8") if isinstance(raw_id, bytes) else str(raw_id)
+                img_dir = os.path.join(visual_root, img_name)
+                save_pose_comparison(
+                    imgs_h[bi],
+                    est_poses_h[bi],
+                    batch["poses_gt"][bi],
+                    batch["cuboid3d"][bi],
+                    batch["keypoints3d"][bi],
+                    batch["camera"][bi],
+                    batch["offsets"][bi],
+                    path_out=img_dir,
+                    add_correct=ps[1],
+                    draw_reprojection=True,
+                )
+                save_proxy_error_maps(
+                    proxy_dist_h[bi], tseg_h[bi], img_dir, no_features=opt.no_points
+                )
+                save_mask_by_proxy_loss(proxy_obj_h[bi], tseg_h[bi], img_dir)
 
     if prof_active:  # fewer than 7 batches: stop at loop end
         jax.profiler.stop_trace()

@@ -42,6 +42,13 @@ from casapose_tpu.parallel.mesh import make_mesh, shard_batch
 from casapose_tpu.pose.evaluation import estimate_and_evaluate_poses, evaluate_pose_estimates
 
 
+def _cache_records_enabled(opt) -> bool:
+    """--cache_records unset (None) means ON for training: the decoded-frame
+    cache pays off from epoch 2 onward. Evaluation defaults it off."""
+    v = getattr(opt, "cache_records", None)
+    return True if v is None else bool(v)
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -358,7 +365,7 @@ def run_training(opt):
         saturation=opt.saturation,
         wxyz_quaterion_input=opt.data_wxyz_quaterion,
         record_cache_dir=(
-            os.path.join(opt.outf, "record_cache", "train") if getattr(opt, "cache_records", False) else None
+            os.path.join(opt.outf, "record_cache", "train") if _cache_records_enabled(opt) else None
         ),
     )
     trainingdata, train_batches = train_dataset.generate_dataset(
@@ -393,7 +400,7 @@ def run_training(opt):
             separated_vectorfields=separated,
             wxyz_quaterion_input=opt.datatest_wxyz_quaterion,
             record_cache_dir=(
-                os.path.join(opt.outf, "record_cache", "test") if getattr(opt, "cache_records", False) else None
+                os.path.join(opt.outf, "record_cache", "test") if _cache_records_enabled(opt) else None
             ),
         )
         testingdata, test_batches = test_dataset.generate_dataset(

@@ -101,11 +101,12 @@ def build_parser():
     parser.add_argument(
         "--cache_records",
         type=str2bool,
-        default=True,
+        default=None,
         help="cache decoded dataset frames as uint8 npy under <outf>/record_cache (first epoch "
         "decodes, later epochs read ~1 MB contiguous files the OS page cache serves from RAM; "
-        "entries auto-invalidate when source files change). TPU-first addition: keeps the host "
-        "loader ahead of the accelerator.",
+        "entries auto-invalidate when source files change, superseded entries are pruned). "
+        "TPU-first addition: keeps the host loader ahead of the accelerator. Default: on for "
+        "training (multi-epoch reuse), off for single-pass evaluation.",
     )
     parser.add_argument(
         "--matmul_precision",

@@ -44,6 +44,20 @@ def test_flat_square_coverage_and_depth():
     assert not np.isfinite(depth[~hit]).any()
 
 
+def test_single_pixel_bbox_triangle_rasterizes():
+    # Regression: extent == 1 triangles fell into no size bucket and were
+    # silently dropped (dense distant meshes project to 1-px bboxes).
+    z = 800.0
+    # covers exactly pixel center (160.5, 120.5) -> u in [160.3, 160.7]
+    verts = (
+        np.array([[160.3, 120.3, 1.0], [160.7, 120.35, 1.0], [160.5, 120.7, 1.0]]) - [160.0, 120.0, 0]
+    ) * np.array([z / 320.0, z / 320.0, z])
+    faces = np.array([[0, 1, 2]])
+    depth = render_depth(verts, faces, K, I3, T0, W, H)
+    assert np.isfinite(depth).sum() == 1
+    np.testing.assert_allclose(depth[120, 160], z, rtol=1e-9)
+
+
 def test_perspective_correct_depth_on_slanted_triangle():
     verts = np.array([[-60.0, -60.0, 600.0], [90.0, -30.0, 900.0], [-30.0, 80.0, 700.0]])
     faces = np.array([[0, 1, 2]])
