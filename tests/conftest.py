@@ -18,3 +18,12 @@ import jax  # noqa: E402
 # The environment's experimental TPU plugin ignores JAX_PLATFORMS; the
 # config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of the full train/eval steps (minutes each on this host), not
+# by the numerics under test. Warm re-runs skip straight to execution.
+# Keyed by XLA version + flags, so stale entries are just misses.
+_cc_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_test_cache")
+os.makedirs(_cc_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cc_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
