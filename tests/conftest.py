@@ -22,8 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's cost is dominated by XLA:CPU
 # compiles of the full train/eval steps (minutes each on this host), not
 # by the numerics under test. Warm re-runs skip straight to execution.
-# Keyed by XLA version + flags, so stale entries are just misses.
-_cc_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_test_cache")
-os.makedirs(_cc_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cc_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# One shared cache (.jax_cache) for the suite AND the CLI drivers the e2e
+# tests invoke (run_training/run_evaluation call setup_compilation_cache
+# themselves — pointing at the same dir keeps it coherent), seeded from
+# the committed suite_cache_seed/ so fresh checkouts start warm. Keyed by
+# XLA version + flags, so stale entries are just misses.
+import sys as _sys
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_sys.path.insert(0, _repo_root)
+from casapose_tpu.core.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(_repo_root)
