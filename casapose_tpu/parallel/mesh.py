@@ -59,6 +59,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] image sharding: batch over ``data``, height over ``model``.
+
+    Spatial partitioning for latency-critical inference: sharding H over the
+    ``model`` axis splits every conv's spatial work across chips and GSPMD
+    inserts the halo exchanges (border-row ppermutes) and the psum that
+    completes the voting contraction — the model code is unchanged. An
+    N-chip mesh then accelerates a SINGLE image's latency, which pure data
+    parallelism cannot (the reference has no counterpart; its only
+    parallelism is batch-wise MirroredStrategy, train_casapose.py:195).
+    Equivalence vs the unsharded forward is pinned by
+    tests/test_mesh.py::test_spatial_inference_equivalence.
+    """
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def shard_batch(mesh: Mesh, batch, multihost: Optional[bool] = None):
     """Place a pytree of host arrays with batch-dim sharding over ``data``.
 
