@@ -168,6 +168,11 @@ def run_evaluation(opt):
     from casapose_tpu.data.ndds import VectorfieldDataset
     from casapose_tpu.utils.io import write_poses
 
+    # The environment's experimental TPU plugin ignores the JAX_PLATFORMS
+    # env var; apply it via jax.config so CPU-forced smoke runs work on TPU
+    # hosts (same workaround as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # The TF reference evaluates in float32; TPU's default matmul precision
     # feeds the MXU bf16 inputs, which measurably shifts losses/metrics
     # (validated against the reference harness in tests/test_reference_e2e.py).

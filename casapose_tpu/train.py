@@ -77,6 +77,12 @@ class StepConfig:
     hue: float
     use_imgaug: bool
     color_dataset: bool = True
+    # Rematerialize the network forward in the backward pass instead of
+    # storing every conv activation between fwd and bwd (jax.checkpoint).
+    # Cuts peak HBM (enables larger per-chip batches) for ~1 extra forward
+    # of recompute; the step is bandwidth-bound so measure before enabling
+    # (benchmarks/profile_remat.py). Off by default.
+    remat: bool = False
 
 
 def build_model_from_opt(opt, no_objects):
@@ -157,7 +163,15 @@ def forward_and_loss(
     gt_seg_input = target_seg if cfg.train_vectors_with_ground_truth else None
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
-        output_net, mutated = model.apply(variables, img, gt_seg_input, train=True, mutable=["batch_stats"])
+
+        def apply_train(params, img, gt_seg_input):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, img, gt_seg_input, train=True, mutable=["batch_stats"]
+            )
+
+        if cfg.remat:
+            apply_train = jax.checkpoint(apply_train)
+        output_net, mutated = apply_train(params, img, gt_seg_input)
         new_batch_stats = mutated["batch_stats"]
     else:
         output_net = model.apply(variables, img, gt_seg_input, train=False)
@@ -307,6 +321,7 @@ def step_config_from_opt(opt, no_objects) -> StepConfig:
         hue=float(opt.hue),
         use_imgaug=bool(opt.use_imgaug),
         color_dataset=bool(opt.color_dataset),
+        remat=bool(getattr(opt, "remat", False)),
     )
 
 
@@ -320,6 +335,11 @@ def run_training(opt):
     from casapose_tpu.data.ndds import VectorfieldDataset
 
     print("start:", datetime.datetime.now().time())
+    # The environment's experimental TPU plugin ignores the JAX_PLATFORMS
+    # env var; apply it via jax.config so CPU-forced smoke runs work on TPU
+    # hosts (same workaround as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # Match the f32 reference numerics (see utils/config.py --matmul_precision).
     if getattr(opt, "matmul_precision", None):
         jax.config.update("jax_default_matmul_precision", opt.matmul_precision)

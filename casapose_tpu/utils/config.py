@@ -89,6 +89,13 @@ def build_parser():
         "halves training step time on TPU; float32 matches the TF reference bit-for-bit.",
     )
     parser.add_argument(
+        "--remat",
+        type=str2bool,
+        default=False,
+        help="rematerialize the network forward in the backward pass (jax.checkpoint): lower peak "
+        "HBM (larger per-chip batches) for ~1 extra forward of recompute",
+    )
+    parser.add_argument(
         "--batchsize_test",
         type=int,
         default=1,

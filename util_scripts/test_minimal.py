@@ -26,6 +26,12 @@ from casapose_tpu.utils.config import parse_config
 
 
 def main():
+    import os
+
+    # The environment's experimental TPU plugin ignores the JAX_PLATFORMS
+    # env var; apply it via jax.config (same workaround as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     opt = parse_config()
     objectsofinterest = [x.strip() for x in opt.object.split(",")]
     no_objects = len(objectsofinterest)
