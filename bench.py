@@ -73,9 +73,19 @@ def main():
         np.tile(np.array([[572.4, 0, 325.3], [0, 573.5, 242.0], [0, 0, 1]], np.float32), (BATCH, 1, 1))
     )
 
+    # CASAPOSE_BENCH_QUANT=int8: run every conv as s8xs8->s32 on the MXU's
+    # double-rate int8 path with halved activation bytes (ops/quant.py;
+    # accuracy pinned by tests/test_quant.py). Default off.
+    quant = os.environ.get("CASAPOSE_BENCH_QUANT") == "int8"
+    if quant:
+        from casapose_tpu.ops.quant import quantized_apply
+
     @jax.jit
     def step(variables, img):
-        out = model.apply(variables, img, train=False)
+        if quant:
+            out = quantized_apply(model, variables, img)
+        else:
+            out = model.apply(variables, img, train=False)
         seg = out[..., :seg_dim]
         dirs = out[..., seg_dim : seg_dim + 2 * k]
         conf = out[..., seg_dim + 2 * k :]
@@ -132,6 +142,8 @@ def main():
         "vs_baseline": round(images_per_sec / A100_BASELINE_IMAGES_PER_SEC, 3),
         "latency_ms_per_image": round(latency_ms, 2),
     }
+    if quant:
+        record["quant"] = "int8"
     peak = PEAKS.get(jax.devices()[0].device_kind)
     if flops and peak:
         # steps/sec * flops-per-step / peak-flops; bytes likewise.
