@@ -48,7 +48,14 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
 
         target_dirs = get_all_vectorfields(target_seg, target_vertex, batch["seg"], separated)
         gt_seg_input = target_seg if opt.train_vectors_with_ground_truth else None
-        output_net = model.apply(variables, img, gt_seg_input, train=False)
+        if getattr(opt, "quantized_inference", "") == "int8":
+            # Opt-in int8 convs (ops/quant.py): lets the full accuracy
+            # harness measure the quantization's metric impact directly.
+            from casapose_tpu.ops.quant import quantized_apply
+
+            output_net = quantized_apply(model, variables, img, gt_seg_input)
+        else:
+            output_net = model.apply(variables, img, gt_seg_input, train=False)
 
         output_seg = output_net[..., :seg_dim]
         if opt.estimate_confidence:

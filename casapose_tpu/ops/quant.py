@@ -93,10 +93,58 @@ def quantize_conv_int8(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def quantize_partial_conv_int8(mod, x: jnp.ndarray, seg_onehot=None) -> jnp.ndarray:
+    """Int8 version of ``models.layers.PartialConv``.
+
+    The class-masked stencil stays exact under symmetric quantization: the
+    0/1 neighbor mask multiplies int8 values (jnp.where), shifts pad with
+    the exact 0 code, and all 9 taps share the per-output-channel weight
+    scale so their int32 accumulators sum coherently. The 9/count
+    normalization applies after the one f32 rescale, as in the f32 layer.
+    """
+    from casapose_tpu.models.layers import _OFFSETS_3X3, _shift2d
+
+    kernel = jnp.asarray(mod.scope.get_variable("params", "kernel"), jnp.float32)  # (3, 3, ch, f)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(kernel / w_scale).astype(jnp.int8)
+
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+
+    if seg_onehot is None:
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
+
+    labels = jnp.argmax(seg_onehot, axis=-1)[..., None]  # [b, h, w, 1]
+    acc = None
+    count = None
+    for (dy, dx) in _OFFSETS_3X3:
+        lab_s = _shift2d(labels, dy, dx, fill=-1)
+        m = lab_s == labels
+        x_s = jnp.where(m, _shift2d(xq, dy, dx), jnp.int8(0))
+        contrib = jax.lax.dot_general(
+            x_s, wq[dy + 1, dx + 1], (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc = contrib if acc is None else acc + contrib
+        c = m.astype(jnp.float32)
+        count = c if count is None else count + c
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    return (out * (9.0 / jnp.maximum(count, 1.0))).astype(x.dtype)
+
+
 def _interceptor(next_fun, args, kwargs, context):
+    from casapose_tpu.models.layers import PartialConv
+
     mod = context.module
     if isinstance(mod, nn.Conv) and context.method_name == "__call__":
         return quantize_conv_int8(mod, args[0])
+    if isinstance(mod, PartialConv) and context.method_name == "__call__":
+        seg = args[1] if len(args) > 1 else kwargs.get("seg_onehot")
+        return quantize_partial_conv_int8(mod, args[0], seg)
     return next_fun(*args, **kwargs)
 
 

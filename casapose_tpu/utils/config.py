@@ -106,6 +106,15 @@ def build_parser():
         "row per BATCH in batched mode.",
     )
     parser.add_argument(
+        "--quantized_inference",
+        type=str,
+        default="",
+        choices=["", "int8"],
+        help="run evaluation with quantized convolutions (ops/quant.py): 'int8' executes every "
+        "conv as s8xs8->s32 on the MXU's double-rate int8 path with half the activation bytes. "
+        "TPU-first addition (the reference is f32 end to end); accuracy bands in tests/test_quant.py.",
+    )
+    parser.add_argument(
         "--cache_records",
         type=str2bool,
         default=None,

@@ -67,6 +67,31 @@ def test_quantized_conv_exact_on_grid(kernel_size, strides, padding, dilation):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_quantized_partial_conv_exact_on_grid(masked):
+    """The class-masked stencil conv is exact on the int8 grid: the 0/1
+    neighbor mask and zero-padded shifts preserve the grid, and all taps
+    share the per-channel weight scale."""
+    from casapose_tpu.models.layers import PartialConv
+
+    rng = np.random.default_rng(3)
+    x = _exact_grid(rng, (2, 12, 14, 8), scale=0.25)
+    num_classes = 3
+    pc = PartialConv(10, num_classes)
+    seg = None
+    if masked:
+        labels = rng.integers(0, num_classes, (2, 12, 14))
+        seg = jnp.asarray(np.eye(num_classes, dtype=np.float32)[labels])
+    variables = pc.init(jax.random.PRNGKey(0), jnp.asarray(x), seg)
+    k_grid = _exact_grid(rng, variables["params"]["kernel"].shape, scale=1.0 / 508.0, saturate_axis=-1)
+    variables = {"params": {"kernel": jnp.asarray(k_grid)}}
+
+    ref = pc.apply(variables, jnp.asarray(x), seg)
+    with quantized_convs():
+        out = pc.apply(variables, jnp.asarray(x), seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_quantized_forward_fidelity():
     """Full flagship forward: int8 output stays close to f32, and the
     segmentation argmax flips only on a small fraction of pixels."""
