@@ -22,22 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+from __graft_entry__ import make_synthetic_batch
+
+
 def make_batch(rng, B, h, w, no_objects, k):
-    labels = rng.integers(0, no_objects + 1, (B, h, w, 1)).astype(np.uint8)
-    return {
-        "img": rng.integers(0, 255, (B, h, w, 3)).astype(np.uint8),
-        "seg": labels,
-        "keypoints2d": rng.uniform(0, h, (B, no_objects, 1, k, 2)).astype(np.float32),
-        "keypoints3d": rng.uniform(-0.05, 0.05, (B, no_objects, 1, k, 3)).astype(np.float32),
-        "camera": np.tile(np.array([[572.0, 0, w / 2], [0, 572.0, h / 2], [0, 0, 1]], np.float32), (B, 1, 1)),
-        "diameters": np.full((B, no_objects, 1, 1), 0.1, np.float32),
-        "offsets": np.tile(np.array([0, 0, h, w, 0, 0, 0, 1.0, w, h], np.float32), (B, 1)),
-        "cuboid3d": np.zeros((B, no_objects, 1, 8, 3), np.float32),
-        "poses_gt": np.tile(
-            np.concatenate([np.eye(3, dtype=np.float32), [[0], [0], [0.8]]], axis=1), (B, no_objects, 1, 1, 1)
-        ),
-        "pixel_gt_count": np.full((B, no_objects, 1, 1), 100, np.float32),
-    }
+    return make_synthetic_batch(rng, B, h, w, no_objects, k)
 
 
 def peak_bytes():

@@ -68,7 +68,22 @@ def restore_checkpoint(path, template, step: Optional[int] = None):
         if step is None:
             return None, None
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.join(os.path.abspath(path), f"step_{step}"), item=template)
+        try:
+            restored = ckptr.restore(os.path.join(os.path.abspath(path), f"step_{step}"), item=template)
+        except ValueError as e:
+            # Most common cause: the optimizer's state pytree changed between
+            # save and resume (e.g. checkpoints written before the switch to
+            # the TF-legacy Adam in core/optimizer.py::adam_tf have
+            # optax.adam's chained state). Surface that instead of orbax's
+            # raw tree-mismatch traceback.
+            raise ValueError(
+                f"checkpoint at {path} (step {step}) does not match the current "
+                "train-state structure. If it was written by an older build with a "
+                "different optimizer (optax.adam vs adam_tf), restart training from "
+                "the portable weights instead: load the .npz/.h5 export via "
+                "--load_h5_weights 1 --load_h5_filename <export> (optimizer state "
+                "is rebuilt fresh)."
+            ) from e
     return restored, step
 
 

@@ -8,9 +8,12 @@ compute ceiling:
 
   * weights: per-output-channel scales, computed from the f32 params at
     trace time (folds into constants under jit);
-  * activations: one per-tensor dynamic scale per conv (an absmax reduce
+  * activations: one dynamic scale per image per conv (an absmax reduce
     XLA fuses into the producer's epilogue), so no calibration pass or
-    stored statistics are needed;
+    stored statistics are needed. Per-image (not per-batch) scaling keeps
+    each image's computation independent of its batch neighbors, so
+    batched inference is bit-identical to batch-1 — the same invariant
+    ``--batchsize_test`` pins for the f32 path;
   * accumulation: int32 on the MXU (``preferred_element_type``), then one
     f32 rescale + the regular BN/activation epilogue.
 
@@ -73,7 +76,11 @@ def quantize_conv_int8(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
     wq = jnp.round(kernel / w_scale).astype(jnp.int8)
 
     x32 = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    # Per-image scale: quantizing image b must not depend on its batch
+    # neighbors (batched == batch-1, bit-exact).
+    x_scale = jnp.maximum(
+        jnp.max(jnp.abs(x32), axis=tuple(range(1, x32.ndim)), keepdims=True), 1e-12
+    ) / 127.0
     xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
 
     acc = jax.lax.conv_general_dilated(
@@ -109,7 +116,9 @@ def quantize_partial_conv_int8(mod, x: jnp.ndarray, seg_onehot=None) -> jnp.ndar
     wq = jnp.round(kernel / w_scale).astype(jnp.int8)
 
     x32 = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    x_scale = jnp.maximum(
+        jnp.max(jnp.abs(x32), axis=tuple(range(1, x32.ndim)), keepdims=True), 1e-12
+    ) / 127.0  # per image, see quantize_conv_int8
     xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
 
     if seg_onehot is None:

@@ -44,7 +44,7 @@ def _write_cube_ply(path, side):
             f.write("4 " + " ".join(str(i) for i in q) + "\n")
 
 
-def _make_bop_dataset(root, cube_models=False):
+def _make_bop_dataset(root, cube_models=False, distractor=False):
     rng = np.random.default_rng(0)
     models = os.path.join(root, "models")
     os.makedirs(models, exist_ok=True)
@@ -57,6 +57,11 @@ def _make_bop_dataset(root, cube_models=False):
             _write_ply(os.path.join(models, f"obj_{oid:06d}.ply"), verts)
         _write_ply(os.path.join(models, f"obj_{oid:06d}_keypoints.ply"), rng.uniform(-25, 25, (9, 3)))
         info[str(oid)] = {"diameter": 80.0}
+    if distractor:
+        # Mesh WITHOUT a keypoints PLY: present in scene_gt (and so in the
+        # masks, where it occludes) but never an object of interest.
+        _write_cube_ply(os.path.join(models, "obj_000003.ply"), 60.0)
+        info["3"] = {"diameter": 80.0}
     with open(os.path.join(models, "models_info.json"), "w") as f:
         json.dump(info, f)
 
@@ -80,6 +85,18 @@ def _make_bop_dataset(root, cube_models=False):
             mask = np.zeros((H, W), np.uint8)
             mask[30 + 40 * j : 60 + 40 * j, 40 + 60 * j : 90 + 60 * j] = 255
             Image.fromarray(mask).save(os.path.join(scene, "mask_visib", f"{img_i:06d}_{j:06d}.png"))
+        if distractor:
+            R = np.eye(3)
+            t = [-10.0, 5.0, 400.0]  # same (x, y) ray as obj 1 (z=600), closer
+            poses[(img_i, 3)] = (R, np.asarray(t))
+            objs.append({"obj_id": 3, "cam_R_m2c": R.reshape(-1).tolist(), "cam_t_m2c": t})
+            infos.append(
+                {"bbox_obj": [120, 90, 60, 60], "bbox_visib": [120, 90, 60, 60], "px_count_all": 900,
+                 "px_count_valid": 900, "px_count_visib": 900, "visib_fract": 1.0}
+            )
+            mask = np.zeros((H, W), np.uint8)
+            mask[100:148, 130:180] = 255
+            Image.fromarray(mask).save(os.path.join(scene, "mask_visib", f"{img_i:06d}_{len(objs) - 1:06d}.png"))
         gts[str(img_i)] = objs
         gt_infos[str(img_i)] = infos
         Image.fromarray(rng.integers(0, 255, (H, W, 3)).astype(np.uint8)).save(
@@ -193,3 +210,36 @@ def test_convert_render_mask_mode(tmp_path):
             # area minus what the other object occludes; use a loose floor)
             bbox_area = (uv[:, 0].max() - uv[:, 0].min()) * (uv[:, 1].max() - uv[:, 1].min())
             assert len(ys) > 0.25 * bbox_area
+
+
+def test_convert_render_mask_distractor_occludes(tmp_path):
+    """Render mode must stamp EVERY scene_gt object — including ones without
+    keypoint PLYs (the reference pyrender path renders all GT records, ref
+    dataset_converter.py:72-95). A distractor in front of an object of
+    interest must claim the contested pixels, not leave them labeled as the
+    occluded object."""
+    from dataset_converter import generate_data
+
+    src = str(tmp_path / "bop")
+    dst = str(tmp_path / "ndds")
+    os.makedirs(src)
+    _make_bop_dataset(src, cube_models=True, distractor=True)
+    settings = {"width": W, "height": H, "filetype_in": "png", "mask": "render",
+                "copy_meshes": False, "near": 100, "far": 2000}
+    generate_data(src, dst, settings)
+
+    for img_i in range(2):
+        rgb = os.path.join(dst, "train_pbr", "000000", "rgb")
+        seg = np.asarray(Image.open(os.path.join(rgb, f"{img_i:06d}.seg.png")))
+        assert set(np.unique(seg)) <= {0, 1, 2, 3}
+        assert np.count_nonzero(seg == 3) > 50, "distractor missing from rendered mask"
+        # The distractor (center [-10, 5, 400], axis-aligned cube) projects
+        # over obj 1's center ray (center [-10, 5, 600]); the z-buffer must
+        # give that pixel to the closer distractor.
+        u, v = 320.0 * -10.0 / 400.0 + 160.0, 320.0 * 5.0 / 400.0 + 120.0
+        assert seg[int(round(v)), int(round(u))] == 3
+        # The distractor is NOT an object of interest: it carries no GT
+        # record in the NDDS json (no keypoints to train on).
+        with open(os.path.join(rgb, f"{img_i:06d}.json")) as f:
+            gt = json.load(f)
+        assert [o["class"] for o in gt["objects"]] == ["obj_000001", "obj_000002"]

@@ -47,7 +47,9 @@ def _exact_grid(rng, shape, scale, saturate_axis=None):
 )
 def test_quantized_conv_exact_on_grid(kernel_size, strides, padding, dilation):
     rng = np.random.default_rng(0)
-    x = _exact_grid(rng, (2, 16, 20, 8), scale=0.5)
+    # saturate_axis=0: activation scales are per image, so each batch
+    # element must hit the grid's absmax for quantization to be exact.
+    x = _exact_grid(rng, (2, 16, 20, 8), scale=0.5, saturate_axis=0)
     conv = nn.Conv(
         12, kernel_size, strides=strides, padding=padding, kernel_dilation=dilation, use_bias=True
     )
@@ -75,7 +77,7 @@ def test_quantized_partial_conv_exact_on_grid(masked):
     from casapose_tpu.models.layers import PartialConv
 
     rng = np.random.default_rng(3)
-    x = _exact_grid(rng, (2, 12, 14, 8), scale=0.25)
+    x = _exact_grid(rng, (2, 12, 14, 8), scale=0.25, saturate_axis=0)
     num_classes = 3
     pc = PartialConv(10, num_classes)
     seg = None
@@ -124,3 +126,29 @@ def test_quantized_forward_fidelity():
 
     agree = np.mean(np.argmax(out[..., :seg_dim], -1) == np.argmax(ref[..., :seg_dim], -1))
     assert agree > 0.97, f"seg argmax agreement {agree:.4f}"
+
+
+def test_quantized_batch_independence():
+    """Activation scales are per image: quantizing a batch must give the
+    same bits as quantizing each image alone. This is what keeps
+    ``--batchsize_test`` metric-identical to batch-1 under int8 (an image
+    with large activation outliers must not coarsen its neighbors'
+    quantization grid)."""
+    from casapose_tpu.models.registry import get_model
+
+    no_objects, k = 2, 9
+    model = get_model(
+        "casapose_c_gcu5", ver_dim=k * 2 + k, seg_dim=1 + no_objects, base_model="resnet18"
+    )
+    rng = np.random.default_rng(7)
+    # Image 0 carries a 50x outlier; image 1 is ordinary.
+    batch = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    batch[0, 3, 4, :] = 50.0
+    img = jnp.asarray(batch)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(2), img[:1])
+
+    batched = np.asarray(quantized_apply(model, variables, img))
+    singles = np.concatenate(
+        [np.asarray(quantized_apply(model, variables, img[i : i + 1])) for i in range(2)]
+    )
+    np.testing.assert_array_equal(batched, singles)

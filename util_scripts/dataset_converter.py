@@ -93,6 +93,12 @@ class MeshCatalog:
 
     def __init__(self):
         self.entries: Dict[int, Dict] = {}
+        # Every id with mesh geometry, keypoints or not: render-mode masks
+        # must stamp ALL GT objects (the reference renders every scene_gt
+        # record, ref dataset_converter.py:72-95), so distractors without
+        # keypoint PLYs still occlude the objects of interest correctly.
+        self.render_meshes: Dict[int, str] = {}
+        self._render_cache: Dict[int, object] = {}
 
     @classmethod
     def from_bop_models(cls, path: str, out_path: str, copy_meshes: bool = False) -> "MeshCatalog":
@@ -114,6 +120,8 @@ class MeshCatalog:
         for mesh_file in mesh_files:
             name = os.path.splitext(os.path.basename(mesh_file))[0]
             digits = re.findall(r"\d+", name)
+            if digits:
+                cat.render_meshes[int(digits[0])] = mesh_file
             if not digits or int(digits[0]) not in by_id:
                 continue
             obj_id = int(digits[0])
@@ -146,10 +154,9 @@ class MeshCatalog:
 
     def render_mesh(self, obj_id):
         """(vertices, faces) for z-buffer mask rendering, loaded lazily."""
-        entry = self.entries[obj_id]
-        if "render_mesh" not in entry:
-            entry["render_mesh"] = load_mesh(entry["mesh_file"])
-        return entry["render_mesh"]
+        if obj_id not in self._render_cache:
+            self._render_cache[obj_id] = load_mesh(self.render_meshes[obj_id])
+        return self._render_cache[obj_id]
 
     def write_object_settings(self, path: str):
         """NDDS ``_object_settings.json`` for the objects seen in a scene."""
@@ -336,7 +343,7 @@ def convert_scene(scene_dir: str, out_dir: str, catalog: MeshCatalog, opts: Conv
                 os.path.join(rgb_out, stem + ".seg.png"),
             )
         elif opts.mask == "render":
-            known = [rec for rec in entry["objects"] if rec["id"] in catalog.entries]
+            known = [rec for rec in entry["objects"] if rec["id"] in catalog.render_meshes]
             mask = render_id_mask(
                 [catalog.render_mesh(rec["id"]) for rec in known],
                 [(rec["R"], np.asarray(rec["t"], np.float64)) for rec in known],
