@@ -170,46 +170,12 @@ def train_bench(peak):
     import os
 
     import jax
-    import jax.numpy as jnp
 
-    from casapose_tpu.core.optimizer import adam_tf
-    from casapose_tpu.losses.losses import LossWeights
-    from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
-    from casapose_tpu.train import StepConfig, TrainState, build_model_from_opt, build_train_step
-
-    class Opt:
-        modelname = "casapose_c_gcu5"
-        backbonename = "resnet18"
-        no_points = 9
-        estimate_confidence = True
-        compute_dtype = os.environ.get("CASAPOSE_TRAIN_DTYPE", "bfloat16")
+    from __graft_entry__ import build_train_bench_case
 
     B = int(os.environ.get("CASAPOSE_TRAIN_BATCH", "8"))
-    h = w = 448
-    no_objects, k = 8, 9
-    model = build_model_from_opt(Opt(), no_objects)
-    rng = np.random.default_rng(0)
-    img0 = jnp.zeros((1, h, w, 3), jnp.float32)
-    gt0 = jnp.zeros((1, h, w, 1 + no_objects), jnp.float32)
-    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), img0, gt0)
-
-    mesh = make_mesh(batch_size=B)
-    tx = adam_tf(1e-3)
-    params = shard_params(mesh, variables["params"])
-    batch_stats = shard_params(mesh, variables.get("batch_stats", {}))
-    state = TrainState(params=params, batch_stats=batch_stats, opt_state=tx.init(params),
-                       step=jnp.zeros([], jnp.int32))
-    cfg = StepConfig(
-        no_objects=no_objects, no_points=k, estimate_confidence=True, estimate_coords=True,
-        train_vectors_with_ground_truth=True, use_bpnp_reprojection_loss=False,
-        confidence_regularization=True, separated_vectorfields=False, max_keypoint_pixel_error=12.5,
-        noise=0.0001, brightness=0.001, contrast=0.001, saturation=0.001, hue=0.001, use_imgaug=True,
-    )
-    step = build_train_step(model, tx, cfg, LossWeights(filter_vertex_with_segmentation=True))
-
-    from __graft_entry__ import make_synthetic_batch
-
-    dev_batch = shard_batch(mesh, make_synthetic_batch(rng, B, h, w, no_objects, k))
+    dtype = os.environ.get("CASAPOSE_TRAIN_DTYPE", "bfloat16")
+    step, state, dev_batch, _ = build_train_bench_case(B=B, compute_dtype=dtype)
     rngk = jax.random.PRNGKey(0)
 
     state, losses = step(state, dev_batch, rngk)
@@ -230,7 +196,7 @@ def train_bench(peak):
         "train_images_per_sec": round(B / dt, 2),
         "train_ms_per_step": round(dt * 1000.0, 1),
         "train_batch": B,
-        "train_dtype": Opt.compute_dtype,
+        "train_dtype": dtype,
     }
     try:
         ca = step.lower(state, dev_batch, rngk).compile().cost_analysis()

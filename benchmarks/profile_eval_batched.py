@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Batched-eval harness throughput: --batchsize_test N vs the reference's batch-1.
+
+The reference accuracy harness is structurally batch-1 (reference
+test_casapose.py:155-184 — one image per step, a host sync per image);
+our eval step is batched end to end (casapose_tpu/eval.py), with batch-1
+metric equality pinned by tests/test_batched_eval.py. This script measures
+what the batching is worth: it builds a synthetic NDDS scene, runs the
+REAL ``run_evaluation`` harness (loader -> forward -> voting -> PnP ->
+ADD(-S)/2D metrics -> CSV) at several ``--batchsize_test`` values, and
+prints harness img/s from the harness's own per-batch step timer.
+
+Usage: CASAPOSE_EVAL_BATCHES=1,8,16 python benchmarks/profile_eval_batched.py
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def main():
+    from synthetic_scene import make_meshes, make_scene
+
+    from casapose_tpu.eval import run_evaluation
+    from casapose_tpu.utils.config import parse_config
+
+    n_images = int(os.environ.get("CASAPOSE_EVAL_IMAGES", "96"))
+    batches = [int(b) for b in os.environ.get("CASAPOSE_EVAL_BATCHES", "1,8,16").split(",")]
+
+    root = tempfile.mkdtemp(prefix="eval_bench_")
+    try:
+        mesh_root = os.path.join(root, "models")
+        data_root = os.path.join(root, "data")
+        make_meshes(mesh_root)
+        make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=n_images)
+
+        for batch in batches:
+            outf = os.path.join(root, f"out_b{batch}")
+            evalf = os.path.join(root, f"eval_b{batch}")
+            opt = parse_config([
+                "--data", data_root + "_none", "--datatest", data_root,
+                "--datameshes", mesh_root, "--object", "obj_000001,obj_000002",
+                "--modelname", "casapose_c_gcu5", "--estimate_confidence", "1",
+                "--estimate_coords", "1", "--no_points", "9",
+                "--imagesize_test", "480", "640",
+                "--train_vectors_with_ground_truth", "0",
+                "--outf", outf, "--evalf", evalf, "--min_object_size_test", "1",
+                "--workers", "2", "--prefetch", "4", "--manualseed", "3",
+                "--batchsize_test", str(batch),
+            ])
+            res = run_evaluation(opt)
+            mt = res["mean_time"]  # per-batch step time, warmup batches skipped
+            import numpy as np
+
+            print(
+                f"batchsize_test={batch:3d}  {mt*1e3:7.1f} ms/batch  "
+                f"{batch/mt:6.1f} img/s  (3d_valid_mean={float(np.mean(res['err_3d'])):.4f})",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

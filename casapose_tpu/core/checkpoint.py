@@ -71,11 +71,15 @@ def restore_checkpoint(path, template, step: Optional[int] = None):
         try:
             restored = ckptr.restore(os.path.join(os.path.abspath(path), f"step_{step}"), item=template)
         except ValueError as e:
-            # Most common cause: the optimizer's state pytree changed between
-            # save and resume (e.g. checkpoints written before the switch to
-            # the TF-legacy Adam in core/optimizer.py::adam_tf have
-            # optax.adam's chained state). Surface that instead of orbax's
-            # raw tree-mismatch traceback.
+            # Orbax raises ValueError for many reasons (truncated dirs,
+            # corrupt metadata, ...); only rewrite the tree-structure
+            # mismatch, whose most common cause here is an optimizer state
+            # pytree that changed between save and resume (e.g. checkpoints
+            # written before the switch to the TF-legacy Adam in
+            # core/optimizer.py::adam_tf have optax.adam's chained state).
+            msg = str(e).lower()
+            if not any(s in msg for s in ("structure", "mismatch", "tree")):
+                raise
             raise ValueError(
                 f"checkpoint at {path} (step {step}) does not match the current "
                 "train-state structure. If it was written by an older build with a "

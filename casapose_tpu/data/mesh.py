@@ -188,12 +188,16 @@ def load_ply_mesh(path):
                     size = struct.calcsize(fmt_str)
                     raw = f.read(size * count)
                     if is_vertex:
+                        # One vectorized frombuffer over the packed block
+                        # (struct codes are valid numpy codes; BOP meshes run
+                        # to 100k+ vertices, per-row unpacks cost seconds).
+                        dt = np.dtype([(f"p{j}", endian + _PLY_TYPES[p[0]][0]) for j, p in enumerate(props)])
+                        assert dt.itemsize == size
+                        rec = np.frombuffer(raw, dtype=dt, count=count)
                         prop_names = [p[-1] for p in props]
-                        ix = [prop_names.index(k) for k in ("x", "y", "z")]
-                        arr = np.array(
-                            [struct.unpack_from(fmt_str, raw, i * size) for i in range(count)], np.float64
+                        vertices = np.stack(
+                            [rec[f"p{prop_names.index(k)}"].astype(np.float64) for k in ("x", "y", "z")], axis=1
                         )
-                        vertices = arr[:, ix]
             else:
                 raise ValueError(f"{path}: unsupported PLY format {fmt}")
         if vertices is None:

@@ -175,11 +175,12 @@ class BatchIterator:
     """Infinite epoch-aware iterator with a bounded prefetch queue."""
 
     def __init__(self, dataset, indices_per_epoch, batchsize, imagesize, cropratio, max_count, workers, prefetch,
-                 shuffle, seed, record_cache=None):
+                 shuffle, seed, record_cache=None, drop_remainder=True):
         self.dataset = dataset
         self.record_cache = record_cache
         self.indices = indices_per_epoch
         self.batchsize = batchsize
+        self.drop_remainder = drop_remainder
         self.imagesize = imagesize
         self.cropratio = cropratio
         self.max_count = max_count
@@ -219,27 +220,41 @@ class BatchIterator:
         meta["seg"] = seg[..., None]
         return meta
 
+    def _emit(self, idxs):
+        """Assemble one batch from sample indices and enqueue it."""
+        seeds = self.rng.integers(0, 2**63 - 1, size=len(idxs))
+        samples = list(self.pool.map(self._sample, idxs, seeds))
+        batch = {}
+        for key in samples[0]:
+            if key == "image_id":
+                batch[key] = np.asarray([[s[key]] for s in samples])
+            else:
+                batch[key] = np.stack([s[key] for s in samples])
+        while not self._stop:
+            try:
+                self.queue.put(batch, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
     def _produce(self):
+        if not self.indices or (self.drop_remainder and len(self.indices) < self.batchsize):
+            # No batch will ever form (e.g. batchsize > dataset size): exit
+            # instead of re-shuffling an empty epoch in a hot loop.
+            return
         while not self._stop:
             order = np.array(self.indices)
             if self.shuffle:
                 self.rng.shuffle(order)
-            for start in range(0, len(order) - self.batchsize + 1, self.batchsize):
-                idxs = order[start : start + self.batchsize]
-                seeds = self.rng.integers(0, 2**63 - 1, size=len(idxs))
-                samples = list(self.pool.map(self._sample, idxs, seeds))
-                batch = {}
-                for key in samples[0]:
-                    if key == "image_id":
-                        batch[key] = np.asarray([[s[key]] for s in samples])
-                    else:
-                        batch[key] = np.stack([s[key] for s in samples])
-                while not self._stop:
-                    try:
-                        self.queue.put(batch, timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
+            full_end = len(order) - len(order) % self.batchsize
+            for start in range(0, full_end, self.batchsize):
+                self._emit(order[start : start + self.batchsize])
+                if self._stop:
+                    return
+            if not self.drop_remainder and full_end < len(order):
+                # One short batch per epoch (its own compiled shape); used by
+                # batched eval so no image is dropped.
+                self._emit(order[full_end:])
                 if self._stop:
                     return
 
@@ -257,11 +272,19 @@ class BatchIterator:
 
 
 def make_dataset(dataset, batchsize, epochs, prefetch, imagesize, cropratio, worker, no_objects, shuffle=True,
-                 mirrored_strategy=None, seed=None, record_cache_dir=None):
-    """Reference-compatible ``generate_dataset``: (iterator, epoch_batches)."""
+                 mirrored_strategy=None, seed=None, record_cache_dir=None, drop_remainder=True):
+    """Reference-compatible ``generate_dataset``: (iterator, epoch_batches).
+
+    ``drop_remainder=False`` keeps every image: the epoch ends with one
+    short batch (counted in ``epoch_batches``) at its own compiled shape.
+    """
     del mirrored_strategy  # sharding is handled by the jit step's mesh
-    data_size = len(dataset.imgs) - (len(dataset.imgs) % batchsize)
-    epoch_batches = data_size // batchsize
+    if drop_remainder:
+        data_size = len(dataset.imgs) - (len(dataset.imgs) % batchsize)
+        epoch_batches = data_size // batchsize
+    else:
+        data_size = len(dataset.imgs)
+        epoch_batches = -(-data_size // batchsize)
     if worker in (0, None):
         worker = 8
     if prefetch in (0, None):
@@ -283,6 +306,7 @@ def make_dataset(dataset, batchsize, epochs, prefetch, imagesize, cropratio, wor
         shuffle=shuffle,
         seed=seed,
         record_cache=cache,
+        drop_remainder=drop_remainder,
     )
     return it, epoch_batches
 

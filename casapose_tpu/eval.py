@@ -222,31 +222,13 @@ def run_evaluation(opt):
         ),
     )
     B = max(int(getattr(opt, "batchsize_test", 1)), 1)
+    # drop_remainder=False: batched mode drops no images — the epoch ends
+    # with one short batch at its own compiled shape, so metrics equal the
+    # batch-1 harness exactly (tests/test_batched_eval.py).
     testingdata, test_batches = test_dataset.generate_dataset(
-        B, 1, opt.prefetch, opt.imagesize_test, 1.0, opt.workers, no_objects, shuffle=False, seed=opt.manualseed
+        B, 1, opt.prefetch, opt.imagesize_test, 1.0, opt.workers, no_objects, shuffle=False,
+        seed=opt.manualseed, drop_remainder=False,
     )
-    # Batched mode drops no images: the tail runs as one smaller batch at
-    # its own compiled shape, so metrics equal the batch-1 harness exactly.
-    tail = len(test_dataset.imgs) % B
-    tail_iterator = None
-    if tail:
-        from casapose_tpu.data.pipeline import BatchIterator, RecordCache
-
-        tail_iterator = BatchIterator(
-            test_dataset,
-            list(range(len(test_dataset.imgs) - tail, len(test_dataset.imgs))),
-            tail,
-            opt.imagesize_test,
-            1.0,
-            max_count=1,
-            workers=max(opt.workers, 1),
-            prefetch=2,
-            shuffle=False,
-            seed=opt.manualseed,
-            record_cache=(
-                RecordCache(test_dataset.record_cache_dir) if test_dataset.record_cache_dir else None
-            ),
-        )
     mesh_vertex_array, mesh_vertex_count = test_dataset.generate_object_vertex_array()
 
     model = build_model_from_opt(opt, no_objects)
@@ -309,8 +291,7 @@ def run_evaluation(opt):
     print(f"Test Batches: {test_batches}")
     profile_dir = getattr(opt, "profile_dir", None)
     prof_active = False
-    n_loop = int(test_batches) + (1 if tail_iterator is not None else 0)
-    for batch_idx in range(n_loop):
+    for batch_idx in range(int(test_batches)):
         if profile_dir:
             if batch_idx == 1 and not prof_active:  # skip the compile batch
                 jax.profiler.start_trace(profile_dir)
@@ -320,8 +301,7 @@ def run_evaluation(opt):
                 print(f"wrote profiler trace to {profile_dir}")
                 profile_dir = None
                 prof_active = False
-        it = testingdata if batch_idx < int(test_batches) else tail_iterator
-        batch = it.get_next()
+        batch = testingdata.get_next()
         b_actual = batch["img"].shape[0]
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
         t0 = time.time()
@@ -432,8 +412,6 @@ def run_evaluation(opt):
         print(f"wrote profiler trace to {profile_dir}")
 
     testingdata.close()
-    if tail_iterator is not None:
-        tail_iterator.close()
     test_loss /= max(total_images, 1)
     with np.errstate(divide="ignore", invalid="ignore"):
         err_2d = np.nan_to_num(sums["v2d"] / sums["gt"])

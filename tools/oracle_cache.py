@@ -69,7 +69,10 @@ def reference_fingerprint():
     files.sort()
     files += [ORACLE, os.path.join(TOOLS, "_reference_shims.py")]
     for f in files:
-        h.update(f.encode())
+        # Hash checkout-relative names, not absolute paths: committed seed
+        # fixtures must hit from any clone location (worktrees, CI).
+        rel = os.path.relpath(f, REPO) if f.startswith(REPO) else os.path.relpath(f, ref)
+        h.update(rel.encode())
         try:
             with open(f, "rb") as fh:
                 h.update(fh.read())
