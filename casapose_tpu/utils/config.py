@@ -125,6 +125,20 @@ def build_parser():
         "training (multi-epoch reuse), off for single-pass evaluation.",
     )
     parser.add_argument(
+        "--export_path",
+        default=None,
+        help="(util_scripts/export_model.py) output path for the serialized jax.export StableHLO "
+        "artifact of the inference pipeline (network -> LS voting -> PnP, weights folded as "
+        "constants). Serving hosts load it with jax.export.deserialize — no framework needed.",
+    )
+    parser.add_argument(
+        "--export_platforms",
+        default="tpu",
+        help="(util_scripts/export_model.py) comma-separated lowering platforms for the exported "
+        "artifact (e.g. 'tpu', 'tpu,cpu'); cross-platform export does not require the target "
+        "hardware at export time.",
+    )
+    parser.add_argument(
         "--matmul_precision",
         default="highest",
         choices=["default", "high", "highest"],
