@@ -16,9 +16,9 @@ dryrun (same jit program -> shared compile cache).
 
 import jax
 import numpy as np
-import optax
 import pytest
 
+from casapose_tpu.core.optimizer import adam_tf
 from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from casapose_tpu.train import TrainState, build_train_step
 
@@ -29,7 +29,8 @@ def test_overfit_single_batch_reduces_loss():
 
     model, variables, cfg, lw, batch = build_synthetic_train_case(b=8, noise=0.0)
     mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
-    tx = optax.adam(1e-3)
+    # the shipped production optimizer (train.py::run_training uses adam_tf)
+    tx = adam_tf(1e-3)
     params = shard_params(mesh, variables["params"])
     batch_stats = shard_params(mesh, variables.get("batch_stats", {}))
     state = TrainState(

@@ -15,9 +15,9 @@ statistics to f32-reduction roundoff. (VERDICT r2 item 3.)
 
 import jax
 import numpy as np
-import optax
 import pytest
 
+from casapose_tpu.core.optimizer import adam_tf
 from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from casapose_tpu.train import TrainState, build_eval_step, build_train_step
 
@@ -29,7 +29,9 @@ def _run_steps(n_devices, n_steps=2):
     # difference is purely collective-reduction math, not PRNG layout.
     model, variables, cfg, lw, batch = build_synthetic_train_case(b=8, noise=0.0)
     mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
-    tx = optax.adam(1e-3)
+    # the shipped production optimizer (train.py::run_training uses adam_tf),
+    # so the invariance proof covers the real training program
+    tx = adam_tf(1e-3)
     params = shard_params(mesh, variables["params"])
     batch_stats = shard_params(mesh, variables.get("batch_stats", {}))
     state = TrainState(

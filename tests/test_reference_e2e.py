@@ -27,7 +27,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.join(REPO, "tools") not in sys.path:
     sys.path.insert(0, os.path.join(REPO, "tools"))
-from oracle_cache import ensure_fixtures  # noqa: E402
+from oracle_cache import ensure_fixtures, oracle_skip  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
@@ -46,7 +46,7 @@ def _fixture(variant):
     try:
         return ensure_fixtures([VARIANTS[variant]["argv"]], timeout=1500)[0]
     except RuntimeError as e:
-        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+        oracle_skip(e)
 
 
 def _our_flags(fixture, outf, evalf, v):

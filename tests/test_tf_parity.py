@@ -28,7 +28,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.join(REPO, "tools") not in sys.path:
     sys.path.insert(0, os.path.join(REPO, "tools"))
-from oracle_cache import ensure_fixtures  # noqa: E402
+from oracle_cache import ensure_fixtures, oracle_skip  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
@@ -85,7 +85,7 @@ def oracle_fixtures():
     try:
         dirs = ensure_fixtures(MODULE_FIXTURES)
     except RuntimeError as e:  # TF oracle unusable in this environment
-        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+        oracle_skip(e)
     return {json.dumps(a): d for a, d in zip(MODULE_FIXTURES, dirs)}
 
 

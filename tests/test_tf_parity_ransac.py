@@ -19,7 +19,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.join(REPO, "tools") not in sys.path:
     sys.path.insert(0, os.path.join(REPO, "tools"))
-from oracle_cache import ensure_fixtures  # noqa: E402
+from oracle_cache import ensure_fixtures, oracle_skip  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
@@ -29,7 +29,7 @@ def _fixture(noise):
     try:
         out = ensure_fixtures([argv])[0]
     except RuntimeError as e:
-        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+        oracle_skip(e)
     return np.load(os.path.join(out, "ransac_fixture.npz"))
 
 

@@ -30,7 +30,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.join(REPO, "tools") not in sys.path:
     sys.path.insert(0, os.path.join(REPO, "tools"))
-from oracle_cache import ensure_fixtures  # noqa: E402
+from oracle_cache import ensure_fixtures, oracle_skip  # noqa: E402
 
 pytestmark = pytest.mark.slow
 
@@ -61,7 +61,7 @@ def _train_fixture(variant):
     try:
         return ensure_fixtures([_train_argv(VARIANTS[variant])], timeout=1200)[0]
     except RuntimeError as e:
-        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+        oracle_skip(e)
 
 
 def _read_losses(path):
@@ -172,7 +172,7 @@ def test_one_step_weight_parity(tmp_path):
             [_train_argv(["--saveinterval", "1"], steps=1)], timeout=1200
         )[0]
     except RuntimeError as e:
-        pytest.skip(f"TF oracle unavailable: {str(e)[-800:]}")
+        oracle_skip(e)
     ref_w = os.path.join(fixture, "ref_out", "frozen_model", "result_w.h5")
     assert os.path.exists(ref_w), "reference did not save post-step weights"
 
