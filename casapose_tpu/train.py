@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from casapose_tpu.core.checkpoint import latest_checkpoint_step, restore_checkpoint, save_checkpoint, save_weights_npz
+from casapose_tpu.core.checkpoint import (
+    export_keras_h5,
+    latest_checkpoint_step,
+    restore_checkpoint,
+    save_checkpoint,
+    save_weights_npz,
+)
 from casapose_tpu.data.pipeline import prepare_device_batch
 from casapose_tpu.losses.losses import LossWeights, composite_loss, keypoint_reprojection_loss
 from casapose_tpu.losses.schedules import LossWeightHandler, make_lr_schedule
@@ -680,10 +686,16 @@ def run_training(opt):
 
         if epoch % opt.saveinterval == 0:
             save_checkpoint(checkpoint_path, jax.device_get(state), epoch)
-            save_weights_npz(
-                os.path.join(frozen_path, "result_w.npz"),
-                {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
-            )
+            host_vars = {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+            save_weights_npz(os.path.join(frozen_path, "result_w.npz"), host_vars)
+            # The portable artifact the reference ecosystem consumes
+            # (reference train_casapose.py:903): weights trained here load
+            # directly into the reference's eval/surgery flows via
+            # load_weights(by_name=True).
+            export_keras_h5(os.path.join(frozen_path, "result_w.h5"), host_vars, model=model)
 
     save_checkpoint(checkpoint_path, jax.device_get(state), opt.epochs)
     print("end:", datetime.datetime.now().time())

@@ -320,24 +320,54 @@ def cmd_eval(args):
     tf.random.set_seed(0)
     n_obj = len(OBJECTS)
     confidence = bool(args.confidence)
-    ver_dim = 2 * args.points
-    if args.model == "pvnet":
-        ver_dim *= n_obj
-    if confidence:
-        ver_dim += args.points
-    net = Classifiers.get(args.model)(
-        ver_dim=ver_dim,
-        seg_dim=1 + n_obj,
-        input_shape=(64, 64, 3),
-        weights=None,
-        base_model="resnet18",
-        input_segmentation_shape=None,
-    )
-    _seed_weights(net)
-    net.save_weights(os.path.join(out, "weights.h5"))
-    shutil.copyfile(os.path.join(out, "weights.h5"), os.path.join(ref_out, "frozen_model", "weights.h5"))
-    del net
-    tf.keras.backend.clear_session()
+    if getattr(args, "weights_h5", None):
+        # External weights (the JAX framework's export_keras_h5 output):
+        # the round-trip proof that weights trained THERE evaluate
+        # identically under the reference's own harness. --weights-sha is
+        # unused here; it exists so the fixture cache key tracks content.
+        shutil.copyfile(args.weights_h5, os.path.join(out, "weights.h5"))
+        shutil.copyfile(args.weights_h5, os.path.join(ref_out, "frozen_model", "weights.h5"))
+        # Reset Keras auto-naming so the net test_casapose.py builds gets
+        # backbone name "model" — the name export_keras_h5 writes (the
+        # backbone is the first unnamed Functional in a fresh process).
+        tf.keras.backend.clear_session()
+        # Record what the harness actually loads: a silent by_name skip
+        # (wrong group name / order / shape) leaves random-init weights,
+        # which this checksum exposes directly.
+        _orig_load = tf.keras.Model.load_weights
+
+        def _load_and_checksum(self, *a, **k):
+            r = _orig_load(self, *a, **k)
+            try:
+                import numpy as _np
+
+                s = float(sum(_np.abs(w).sum() for w in self.get_weights()))
+                with open(os.path.join(out, "load_checksum.json"), "w") as fh:
+                    json.dump({"n_weights": len(self.weights), "abs_sum": s}, fh)
+            except Exception:
+                pass
+            return r
+
+        tf.keras.Model.load_weights = _load_and_checksum
+    else:
+        ver_dim = 2 * args.points
+        if args.model == "pvnet":
+            ver_dim *= n_obj
+        if confidence:
+            ver_dim += args.points
+        net = Classifiers.get(args.model)(
+            ver_dim=ver_dim,
+            seg_dim=1 + n_obj,
+            input_shape=(64, 64, 3),
+            weights=None,
+            base_model="resnet18",
+            input_segmentation_shape=None,
+        )
+        _seed_weights(net)
+        net.save_weights(os.path.join(out, "weights.h5"))
+        shutil.copyfile(os.path.join(out, "weights.h5"), os.path.join(ref_out, "frozen_model", "weights.h5"))
+        del net
+        tf.keras.backend.clear_session()
 
     import casapose.pose_models.models.resnet as ref_resnet
 
@@ -377,6 +407,8 @@ def cmd_eval(args):
             os.close(old_out)
             os.close(old_err)
             sys.argv = old_argv
+            if getattr(args, "weights_h5", None):
+                tf.keras.Model.load_weights = _orig_load  # batch mode shares the process
     assert os.path.exists(os.path.join(ref_eval, "loss_test_eval.csv"))
     print(json.dumps({"ok": True, "model": args.model, "coords": args.coords}))
 
@@ -665,6 +697,8 @@ def build_parser():
     ev.add_argument("--coords", type=int, default=1)
     ev.add_argument("--confidence", type=int, default=1)
     ev.add_argument("--extra", default=None, help="extra reference eval flags, comma-joined")
+    ev.add_argument("--weights-h5", default=None, help="evaluate an EXTERNAL Keras h5 (JAX-side export) instead of seeding one")
+    ev.add_argument("--weights-sha", default=None, help="content hash of --weights-h5 (cache-key only)")
     ev.set_defaults(func=cmd_eval)
 
     bp = sub.add_parser("bpnp")
