@@ -101,7 +101,21 @@ def shard_batch(mesh: Mesh, batch, multihost: Optional[bool] = None):
     return jax.tree_util.tree_map(put, batch)
 
 
-def shard_params(mesh: Mesh, params):
-    """Replicate a parameter pytree across the mesh."""
+def shard_params(mesh: Mesh, params, multihost: Optional[bool] = None):
+    """Replicate a parameter pytree across the mesh.
+
+    Multi-host: ``device_put`` cannot address other hosts' devices, so the
+    replicated global array is assembled from each process's (identical)
+    full copy via ``make_array_from_process_local_data`` — for a fully
+    replicated spec the process-local data IS the whole array.
+    """
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)
+    if multihost is None:
+        multihost = jax.process_count() > 1
+
+    def put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, params)
