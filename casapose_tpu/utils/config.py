@@ -106,6 +106,16 @@ def build_parser():
         "row per BATCH in batched mode.",
     )
     parser.add_argument(
+        "--eval_chunk",
+        type=int,
+        default=0,
+        help="process eval batches in sub-chunks of this size inside the jit step (lax.map): only "
+        "one chunk's voting/loss intermediates are live at a time, so large --batchsize_test fits "
+        "in HBM (e.g. --batchsize_test 32 --eval_chunk 8 at 480x640). 0 = off. Metrics are exact; "
+        "the per-batch loss row is the mean over equal-size chunks (the same image weighting the "
+        "summary accumulates).",
+    )
+    parser.add_argument(
         "--quantized_inference",
         type=str,
         default="",

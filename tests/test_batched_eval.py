@@ -68,3 +68,47 @@ def test_batched_eval_matches_batch1(scene, tmp_path):
     poses1 = sorted(os.path.basename(p) for p in glob.glob(os.path.join(eval1, "poses_out", "*", "*.txt")))
     poses2 = sorted(os.path.basename(p) for p in glob.glob(os.path.join(eval2, "poses_out", "*", "*.txt")))
     assert poses1 == poses2 and len(poses1) > 0
+
+
+def test_chunked_eval_matches_unchunked(tmp_path, tmp_path_factory):
+    """--eval_chunk (lax.map sub-batching, the HBM unlock for large
+    --batchsize_test) computes identical metrics and poses: chunked B4/c2
+    vs unchunked B4 must agree exactly on counters and per-image outputs
+    (same math, different liveness), and both match batch-1."""
+    from casapose_tpu.eval import run_evaluation
+    from casapose_tpu.utils.config import parse_config
+
+    root = tmp_path_factory.mktemp("chunked_eval")
+    mesh_root = str(root / "models")
+    data_root = str(root / "data")
+    _make_meshes(mesh_root)
+    _make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=4)
+
+    results = {}
+    for label, batch, chunk in (("b1", 1, 0), ("b4", 4, 0), ("b4c2", 4, 2)):
+        outf = str(tmp_path / f"out_{label}")
+        evalf = str(tmp_path / f"eval_{label}")
+        flags = _flags(data_root, mesh_root, outf, evalf, batch)
+        if chunk:
+            flags += ["--eval_chunk", str(chunk)]
+        opt = parse_config(flags)
+        results[label] = (run_evaluation(opt), evalf)
+
+    rb4, _ = results["b4"]
+    rc, evalc = results["b4c2"]
+    r1, _ = results["b1"]
+    # chunked vs unchunked at the same batch: counters exact, losses to
+    # reduction roundoff (mean-of-chunk-means over equal chunks)
+    np.testing.assert_allclose(rc["err_2d"], rb4["err_2d"], atol=0)
+    np.testing.assert_allclose(rc["err_3d"], rb4["err_3d"], atol=0)
+    np.testing.assert_allclose(rc["precision"], rb4["precision"], atol=0)
+    np.testing.assert_allclose(rc["loss"], rb4["loss"], rtol=2e-5, atol=2e-5)
+    # and the chunked run still equals the batch-1 reference harness
+    np.testing.assert_allclose(rc["err_2d"], r1["err_2d"], atol=0)
+    np.testing.assert_allclose(rc["err_3d"], r1["err_3d"], atol=0)
+    np.testing.assert_allclose(rc["loss"], r1["loss"], rtol=2e-5, atol=2e-5)
+
+    import glob
+
+    posesc = sorted(os.path.basename(p) for p in glob.glob(os.path.join(evalc, "poses_out", "*", "*.txt")))
+    assert len(posesc) > 0
