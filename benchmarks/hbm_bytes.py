@@ -55,9 +55,27 @@ def shape_bytes(type_str):
     return total
 
 
+def _balanced(s, start):
+    """End index (exclusive) of the paren group opening at s[start]=='('."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
 def entry_traffic(hlo_text):
-    """(total_bytes, by_category) for the entry computation."""
-    # find ENTRY block
+    """(total_bytes, by_category) for the entry computation.
+
+    Optimized-HLO line grammar:
+      ``  [ROOT ]%name = <type> <opcode>(<operands>), <attrs...>``
+    where <type> is space-free for arrays (layouts like {1,0:T(8,128)}
+    contain parens but no spaces) and a balanced paren group for tuples.
+    """
     lines = hlo_text.splitlines()
     start = next(i for i, ln in enumerate(lines) if ln.startswith("ENTRY"))
     body = []
@@ -65,41 +83,55 @@ def entry_traffic(hlo_text):
     for ln in lines[start:]:
         depth += ln.count("{") - ln.count("}")
         body.append(ln)
-        if depth == 0 and len(body) > 1:
+        if depth <= 0 and len(body) > 1:
             break
 
     out_bytes = {}  # instr name -> output buffer bytes
     reads = defaultdict(int)
     writes = defaultdict(int)
-    instr_re = re.compile(r"^\s+(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[\w\[\],{}:# ]+?)\s+([\w\-]+)\(")
-    free_ops = {"get-tuple-element", "bitcast", "parameter", "tuple", "constant", "iota"}
+    instrs = []  # (total_bytes, name, kind, op_name)
+    head_re = re.compile(r"^\s*(?:ROOT )?%([\w.\-]+) = ")
+    free_ops = {"get-tuple-element", "bitcast", "parameter", "tuple", "constant", "iota", "copy-done", "after-all"}
     for ln in body[1:-1]:
-        m = instr_re.match(ln)
+        m = head_re.match(ln)
         if not m:
             continue
-        name, type_str, op = m.group(1), m.group(2), m.group(3)
+        name = m.group(1)
+        rest = ln[m.end():]
+        if rest.startswith("("):  # tuple type: balanced group
+            tend = _balanced(rest, 0)
+        else:
+            tend = rest.find(" ")
+            if tend < 0:
+                continue
+        type_str = rest[:tend]
         nbytes = shape_bytes(type_str)
-        out_bytes[name.lstrip("%")] = nbytes
+        out_bytes[name] = nbytes
+        after = rest[tend:].lstrip()
+        om = re.match(r"([\w\-]+)\(", after)
+        if not om:
+            continue
+        op = om.group(1)
         if op in free_ops:
             continue
-        # category: fusion kind or opcode
         kind = op
-        km = re.search(r'kind=(\w+)', ln)
-        if op == "fusion" and km:
-            kind = f"fusion:{km.group(1)}"
-        cm = re.search(r'"fusion_type":"(\w+)"', ln)
-        if op == "fusion" and cm:
-            kind = f"fusion:{cm.group(1)}"
+        if op == "fusion":
+            km = re.search(r"kind=(\w+)", ln)
+            if km:
+                kind = f"fusion:{km.group(1)}"
         writes[kind] += nbytes
-        # operands: %names inside the call parens (first level)
-        call = ln[m.end() - 1:]
-        for om in re.finditer(r"%?([\w.\-]+)", call):
-            oname = om.group(1)
-            if oname in out_bytes and oname != name.lstrip("%"):
-                reads[kind] += out_bytes[oname]
+        call = after[om.end() - 1 : _balanced(after, om.end() - 1)]
+        r = 0
+        for rm in re.finditer(r"%([\w.\-]+)", call):
+            oname = rm.group(1)
+            if oname in out_bytes and oname != name:
+                r += out_bytes[oname]
+        reads[kind] += r
+        opm = re.search(r'op_name="([^"]*)"', ln)
+        instrs.append((nbytes + r, name, kind, opm.group(1) if opm else ""))
     total = sum(writes.values()) + sum(reads.values())
     cats = {k: writes[k] + reads[k] for k in set(writes) | set(reads)}
-    return total, cats
+    return total, cats, instrs
 
 
 def build_inference(batch):
@@ -152,7 +184,7 @@ def main():
     step, args = (build_inference if mode == "inference" else build_train)(batch)
     compiled = step.lower(*args).compile()
     text = compiled.as_text()
-    total, cats = entry_traffic(text)
+    total, cats, instrs = entry_traffic(text)
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -182,6 +214,9 @@ def main():
     print("\nby category (GB/step):")
     for k2, v in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  {k2:>28}: {v / 1e9:7.3f}")
+    print("\ntop instructions (GB, kind, op_name):")
+    for nb, name, kind, opn in sorted(instrs, key=lambda t: -t[0])[:25]:
+        print(f"  {nb / 1e9:7.3f}  {kind:>16}  {name[:28]:28}  {opn[:90]}")
 
 
 if __name__ == "__main__":

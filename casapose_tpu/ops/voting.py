@@ -190,22 +190,68 @@ def ls_voting(
     qx = bb * cy + d * cx
 
     ones = jnp.ones_like(a)
-    feats = jnp.stack([a, bb, d, qy, qx, ones], axis=-1) * wgt[..., None]  # [b,h,w,k,6]
-    # The voting reduction: one [oc, P] x [P, k*6] matmul per batch element.
-    # Full f32 precision — the bf16 default would wash out a ~300k-term sum.
-    # (Two alternatives measured SLOWER end-to-end at 480x640 batch 16 and
-    # were rejected: a fused Pallas accumulation (ops/voting_kernel.py,
-    # latency-bound row-dot loop, ~190 ms) and a factored [3oc,P]x[P,4k]
-    # split that rides cy/cx on the mask side (~64 -> 51 img/s): XLA
-    # already fuses this form to the bandwidth roofline, and the apparent
-    # "copy" cost in profiles is overlapped DMA, not serial time.)
-    S = jnp.einsum(
-        "bhwo,bhwkf->bokf",
-        hot,
-        feats,
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+    # The voting reduction, phrased as MXU contractions of the hot mask
+    # against per-pixel features.
+    # Full f32 operands AND f32 accumulation are REQUIRED, not a choice:
+    # within a class blob the predicted directions are nearly parallel
+    # (they all point at the same distant keypoint), so R is near-rank-1
+    # and det = a*d - b^2 is a small difference of large sums — bf16 feats
+    # were measured to move voted points by up to ~32 px at 480x640 (the
+    # conditioning the reference's float64 pinv protected; our f32 path
+    # holds ~2e-5 px because normalizing by the weight mass keeps the
+    # cancellation at f32-roundoff scale). See docs/DESIGN.md §7.
+    # (Two further alternatives measured SLOWER end-to-end at 480x640
+    # batch 16 and were rejected: a fused Pallas accumulation
+    # (ops/voting_kernel.py, latency-bound row-dot loop, ~190 ms) and a
+    # factored [3oc,P]x[P,4k] split that rides cy/cx on the mask side
+    # (~64 -> 51 img/s).)
+    # Default "multi": six independent [oc,P]x[P,k] contractions sharing
+    # the hot mask. The single-matmul "stack" form materializes a
+    # [b,h,w,k,6] f32 feats tensor (~1 GB at B16 480x640) whose jnp.stack
+    # lowers to chained full-buffer dynamic-update-slices — measured
+    # ~13 GB/step of pure copy traffic in the optimized HLO
+    # (benchmarks/hbm_bytes.py). Splitting the contraction avoids the wide
+    # buffer entirely: 65.4 -> 78.3 img/s end-to-end at 480x640 B16.
+    # All forms stay inside the 1e-3 px float64-reference parity band
+    # (tests/test_tf_parity.py::test_ls_voting_parity, run per-form);
+    # CASAPOSE_VOTING_FORM={stack,concat} kept for measurement.
+    form = os.environ.get("CASAPOSE_VOTING_FORM", "multi")
+    if form == "concat":
+        # Channel-blocked layout: [b,h,w,6k] with 6 contiguous k-blocks.
+        # The [..,k,6] stack lowers to chained full-buffer
+        # dynamic-update-slices (measured ~13 GB/step of copy traffic at
+        # B16 480x640, benchmarks/hbm_bytes.py); a channel concat of
+        # elementwise producers fuses into single-write regions.
+        feats_ck = jnp.concatenate(
+            [a * wgt, bb * wgt, d * wgt, qy * wgt, qx * wgt, wgt], axis=-1
+        )  # [b,h,w,6k]
+        S = jnp.einsum(
+            "bhwo,bhwf->bof",
+            hot,
+            feats_ck,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(b, oc, 6, k).transpose(0, 1, 3, 2)
+    elif form == "multi":
+        # Six independent [oc,P]x[P,k] contractions sharing the hot mask:
+        # no 6k-wide buffer at all; each [b,h,w,k] operand is 1/6 the size.
+        parts = [
+            jnp.einsum(
+                "bhwo,bhwk->bok", hot, f * wgt,
+                preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+            )
+            for f in (a, bb, d, qy, qx, ones)
+        ]
+        S = jnp.stack(parts, axis=-1)  # [b,oc,k,6] (tiny)
+    else:
+        feats = jnp.stack([a, bb, d, qy, qx, ones], axis=-1) * wgt[..., None]  # [b,h,w,k,6]
+        S = jnp.einsum(
+            "bhwo,bhwkf->bokf",
+            hot,
+            feats,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
 
     mass = jnp.maximum(S[..., 5], 1e-20)
     Sa, Sb, Sd = S[..., 0] / mass, S[..., 1] / mass, S[..., 2] / mass
