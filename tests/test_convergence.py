@@ -14,13 +14,18 @@ Runs the identical synthetic case as the DP-invariance test / multichip
 dryrun (same jit program -> shared compile cache).
 """
 
+import os
+import sys
+
 import jax
 import numpy as np
 import pytest
 
 from casapose_tpu.core.optimizer import adam_tf
 from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
-from casapose_tpu.train import TrainState, build_train_step
+from casapose_tpu.train import TrainState, build_eval_step, build_train_step
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 
 @pytest.mark.slow
@@ -60,3 +65,104 @@ def test_overfit_single_batch_reduces_loss():
     # The segmentation component must itself train (not just the total
     # riding on one easy term).
     assert final[1] < 0.8 * first[1], f"mask loss did not improve: {first[1]:.4f} -> {final[1]:.4f}"
+
+
+@pytest.mark.slow
+def test_training_learns_poses(tmp_path):
+    """Metric-level training validation (VERDICT r3 item 5): training on a
+    geometrically consistent synthetic NDDS scene must move the POSE
+    metrics, not just lower the loss — a voting/confidence defect that
+    keeps losses falling while breaking pose learning slips past every
+    loss-level test but fails this one.
+
+    Loads one real loader batch (4 images, 128x128) from the scene, overfits
+    it with the production train step (adam_tf, the shipped optimizer), and
+    runs the real pose-validation eval step (LS voting -> BPnP poses -> 2D /
+    ADD metrics, the path run_training's epoch loop uses,
+    reference train_casapose.py:927-936) before and after.
+
+    Thresholds are from a measured 300-step probe at this config: 2D-valid
+    goes 0/8 -> 4/8 (step 120) -> 7/8 (step 300); the summed reprojection
+    error falls 841 -> 14.6 px and the summed ADD error collapses
+    4003 -> 0.57 m. The 3D-valid rate (ADD < 0.1*diameter ~ 5 mm) only
+    reaches 1/8 at 128x128 — sub-pixel keypoint precision at this tiny
+    resolution cannot pin depth to millimeters — so the 3D assertion is on
+    the error mass, which falls >99%. Asserted bounds leave 2-9x margin on
+    every probed value."""
+    from synthetic_scene import OBJECTS, make_meshes, make_scene
+
+    from casapose_tpu.data.ndds import VectorfieldDataset
+    from casapose_tpu.losses.losses import LossWeights
+    from casapose_tpu.models.registry import get_model
+    from casapose_tpu.train import StepConfig
+
+    mesh_root = str(tmp_path / "models")
+    data_root = str(tmp_path / "data")
+    make_meshes(mesh_root)
+    make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=4)
+
+    ds = VectorfieldDataset(
+        root=data_root, path_meshes=mesh_root, objectsofinterest=OBJECTS, color_input=True,
+        random_crop=False, random_translation=(0, 0), random_rotation=0, no_points=9,
+    )
+    it, _ = ds.generate_dataset(4, 1, 1, (128, 128), 1.0, 1, len(OBJECTS), shuffle=False, seed=0)
+    batch = it.get_next()
+    it.close()
+    batch = {k: v for k, v in batch.items() if k != "image_id"}
+
+    no_objects, k = len(OBJECTS), 9
+    model = get_model("casapose_c_gcu5", ver_dim=3 * k, seg_dim=1 + no_objects)
+    img0 = np.zeros((1, 128, 128, 3), np.float32)
+    gt0 = np.zeros((1, 128, 128, 1 + no_objects), np.float32)
+    variables = jax.jit(lambda r: model.init(r, img0, gt0, train=False))(jax.random.PRNGKey(0))
+
+    cfg = StepConfig(
+        no_objects=no_objects, no_points=k, estimate_confidence=True, estimate_coords=True,
+        train_vectors_with_ground_truth=True, use_bpnp_reprojection_loss=False,
+        confidence_regularization=True, separated_vectorfields=False,
+        max_keypoint_pixel_error=12.5, noise=0.0, brightness=0.0, contrast=0.0,
+        saturation=0.0, hue=0.0, use_imgaug=True,
+    )
+    lw = LossWeights(filter_vertex_with_segmentation=True)
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    tx = adam_tf(1e-3)
+    params = shard_params(mesh, variables["params"])
+    state = TrainState(
+        params=params,
+        batch_stats=shard_params(mesh, variables.get("batch_stats", {})),
+        opt_state=tx.init(params),
+        step=np.zeros([], np.int32),
+    )
+    step = build_train_step(model, tx, cfg, lw)
+    eval_step = build_eval_step(model, cfg, lw, pose_validation=True, min_num_eval=50)
+    dev_batch = shard_batch(mesh, batch)
+    rng = jax.random.PRNGKey(0)
+
+    def pose_totals(state):
+        out = eval_step(state, dev_batch, rng)
+        ps = np.asarray(out["pose_stats"])  # [8 stats, objects], batch-summed
+        s = ps.sum(axis=tuple(range(1, ps.ndim)))
+        return {"v2d": s[0], "v3d": s[1], "count": s[2], "e2d": s[4], "e3d": s[5], "missing": s[6]}
+
+    before = pose_totals(state)
+    assert before["count"] == 8, f"expected 4 images x 2 objects in the metric pool: {before}"
+
+    for _ in range(300):
+        state, losses = step(state, dev_batch, rng)
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+    after = pose_totals(state)
+    assert after["missing"] == 0, f"objects still missed after training: {after}"
+    assert before["v2d"] <= 1 and after["v2d"] >= 4, (
+        f"2D-valid rate did not rise: {before['v2d']}/8 -> {after['v2d']}/8 "
+        f"(probe reference: 0/8 -> 7/8 at step 300)"
+    )
+    assert after["e2d"] < 0.15 * before["e2d"], (
+        f"summed 2D reprojection error did not collapse: {before['e2d']:.1f} -> {after['e2d']:.1f} px "
+        f"(probe reference: 841 -> 14.6)"
+    )
+    assert after["e3d"] < 0.05 * before["e3d"], (
+        f"summed ADD error did not collapse: {before['e3d']:.2f} -> {after['e3d']:.2f} m "
+        f"(probe reference: 4003 -> 0.57)"
+    )
