@@ -139,9 +139,33 @@ def main():
     imgs = make_imgs(BATCH, 4)
     keypoints3d, camera = kp_cam(BATCH)
 
+    # Seed-staleness guard (trace-only, no compile): round 4's bench timed
+    # out on a silently stale bench_cache/ — the HLO had changed since the
+    # seeds were compiled, every key missed, and the driver paid a ~30-min
+    # cold remote compile. Announce that state loudly BEFORE compiling.
+    headline_lowered = None
+    try:
+        from casapose_tpu.core.cache import (
+            check_seed_fingerprint,
+            load_seed_manifest,
+            lowered_fingerprint,
+        )
+
+        _phase("tracing headline step (seed staleness check)")
+        headline_lowered = step.lower(variables, imgs[0], keypoints3d, camera)
+        good, msg = check_seed_fingerprint(
+            load_seed_manifest(), f"inference_b{BATCH}", lowered_fingerprint(headline_lowered)
+        )
+        _phase(("seed check ok — " if good else "SEED CHECK FAILED — ") + msg)
+    except Exception as e:
+        _phase(f"seed check skipped: {str(e)[:150]}")
+
     def cost_numbers():
         try:
-            ca = step.lower(variables, imgs[0], keypoints3d, camera).compile().cost_analysis()
+            lowered = headline_lowered
+            if lowered is None:
+                lowered = step.lower(variables, imgs[0], keypoints3d, camera)
+            ca = lowered.compile().cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0]
             return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
@@ -168,11 +192,27 @@ def main():
     dt = min(run_pipelined(ITERS) for _ in range(3))
     images_per_sec = BATCH * ITERS / dt
 
+    record = {
+        "metric": "images_per_sec_per_chip_640x480_lmo8_inference",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / A100_BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if quant:
+        record["quant"] = "int8"
+    # Emit the headline record NOW: everything after this point (batch scan,
+    # latency, cost analysis, train subprocess) only ENRICHES the record —
+    # the final print below re-emits it and the last JSON line wins, so a
+    # timeout/OOM in a later phase costs the extras, never the metric
+    # (round-4 lesson: the all-or-nothing line died 5 compiles deep).
+    print(json.dumps(record), flush=True)
+    _phase("headline JSON emitted; enriching (scan/latency/train)")
+
     # Inference batch scan (VERDICT r3 item 4): B16/B32/B64 throughput so
     # the larger-batch regime is tracked, not just the headline batch.
     # Each size is its own compile; OOM or compile failure records null
     # rather than breaking the line. Disable with CASAPOSE_BENCH_SCAN=0.
-    scan = {}
+    scan, scan_errors = {}, {}
     scan_sizes = [int(s) for s in os.environ.get("CASAPOSE_BENCH_SCAN", "16,32,64").split(",") if s] \
         if os.environ.get("CASAPOSE_BENCH_SCAN") != "0" else []
     for b in scan_sizes:
@@ -196,8 +236,12 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             scan[str(b)] = round(b * n_iters / best, 2)
             del simg, souts  # free this size's HBM before the next one
-        except Exception:
+        except Exception as e:
+            # Attributable failure (ADVICE r4): an OOM at B64 is expected on
+            # one chip; anything else must be visible as a regression.
+            _phase(f"scan B{b} failed: {type(e).__name__}: {str(e)[:200]}")
             scan[str(b)] = None
+            scan_errors[str(b)] = f"{type(e).__name__}: {str(e)[:100]}"
 
     # Per-image latency (single dispatch + host fetch): best of 3 for the
     # same reason.
@@ -209,17 +253,11 @@ def main():
         latency_ms = min(latency_ms, (time.perf_counter() - t0) * 1000.0 / BATCH)
 
     flops, bytes_accessed = cost_numbers()
-    record = {
-        "metric": "images_per_sec_per_chip_640x480_lmo8_inference",
-        "value": round(images_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / A100_BASELINE_IMAGES_PER_SEC, 3),
-        "latency_ms_per_image": round(latency_ms, 2),
-    }
-    if quant:
-        record["quant"] = "int8"
+    record["latency_ms_per_image"] = round(latency_ms, 2)
     if scan:
         record["inference_scan_img_per_sec"] = scan
+    if scan_errors:
+        record["inference_scan_errors"] = scan_errors
     peak = PEAKS.get(jax.devices()[0].device_kind)
     if flops and peak:
         # steps/sec * flops-per-step / peak-flops; bytes likewise.
@@ -232,12 +270,15 @@ def main():
         record["hbm_utilization_upper_bound"] = round(steps_per_sec * bytes_accessed / peak[1], 4)
         record["gflops_per_image"] = round(flops / BATCH / 1e9, 1)
 
+    # Re-emit before the train subprocess: if it wedges past the driver's
+    # budget, the scan/latency/roofline enrichments still land.
+    print(json.dumps(record), flush=True)
     try:
         _phase("train bench subprocess")
         record.update(run_train_bench_isolated(peak))
     except Exception as e:  # training bench is additive; never break the line
         record["train_error"] = str(e)[:200]
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
 
 
 def run_train_bench_isolated(peak):

@@ -14,10 +14,58 @@ stale or foreign entries are just misses — seeding can never change
 results, only skip recompiles.
 """
 
+import hashlib
+import json
 import os
 import shutil
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MANIFEST_NAME = "MANIFEST.json"
+
+
+def lowered_fingerprint(lowered):
+    """Stable fingerprint of a ``jax.stages.Lowered``: sha256 of the lowered
+    StableHLO text. Changes whenever the traced program (code, shapes,
+    dtypes, flags that affect lowering) changes — exactly the situations
+    that invalidate a committed compile-cache seed."""
+    return hashlib.sha256(lowered.as_text().encode()).hexdigest()[:16]
+
+
+def seed_manifest_path(repo_root=None):
+    return os.path.join(repo_root or _REPO_ROOT, "bench_cache", MANIFEST_NAME)
+
+
+def load_seed_manifest(repo_root=None):
+    """The committed bench-seed manifest ({} when absent): per bench entry
+    point, the lowered-HLO fingerprint its cached binaries were built for.
+    Written by tools/refresh_bench_seeds.py; checked by bench.py and
+    tools/check_bench_seeds.py so a stale seed fails loudly BEFORE the
+    driver pays a ~30-min cold remote compile (the round-4 bench timeout)."""
+    path = seed_manifest_path(repo_root)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def check_seed_fingerprint(manifest, entry, fingerprint):
+    """(ok, message) for one bench entry point against the manifest."""
+    if not manifest:
+        return False, "bench_cache/MANIFEST.json missing — seeds unverifiable (run tools/refresh_bench_seeds.py)"
+    rec = manifest.get("entries", {}).get(entry)
+    if rec is None:
+        return False, f"no manifest entry for {entry!r} — run tools/refresh_bench_seeds.py"
+    if rec.get("fingerprint") != fingerprint:
+        return False, (
+            f"STALE seed for {entry!r}: current lowered-HLO fingerprint {fingerprint} != "
+            f"manifest {rec.get('fingerprint')} (HLO changed since seeds were refreshed; "
+            "expect a cold compile — run tools/refresh_bench_seeds.py)"
+        )
+    return True, f"{entry}: seed fingerprint current ({fingerprint})"
 
 
 def seed_from(seed_dir, cache_dir):

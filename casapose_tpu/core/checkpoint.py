@@ -276,7 +276,10 @@ def _backbone_layer_order(layer_names):
             return (3, s, u, sub)
         if n == "bn1":
             return (4, 0, 0, 0)
-        return (5, 0, 0, hash(n) & 0xFFFF)
+        # Unrecognized names sort after the known groups by name: the
+        # tiebreak must be deterministic across processes (a str hash would
+        # scramble Keras by-order assignment per PYTHONHASHSEED).
+        return (5, 0, 0, n)
 
     return sorted(layer_names, key=key)
 

@@ -684,7 +684,9 @@ def run_training(opt):
                 f.write(s + "\n")
         print("==========================")
 
-        if epoch % opt.saveinterval == 0:
+        # Multi-host: state is replicated, so host 0 writing is sufficient
+        # (and concurrent writers would race on the same files).
+        if epoch % opt.saveinterval == 0 and jax.process_index() == 0:
             save_checkpoint(checkpoint_path, jax.device_get(state), epoch)
             host_vars = {
                 "params": jax.device_get(state.params),
@@ -697,6 +699,7 @@ def run_training(opt):
             # load_weights(by_name=True).
             export_keras_h5(os.path.join(frozen_path, "result_w.h5"), host_vars, model=model)
 
-    save_checkpoint(checkpoint_path, jax.device_get(state), opt.epochs)
+    if jax.process_index() == 0:
+        save_checkpoint(checkpoint_path, jax.device_get(state), opt.epochs)
     print("end:", datetime.datetime.now().time())
     return state

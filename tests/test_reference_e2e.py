@@ -49,12 +49,12 @@ def _fixture(variant):
         oracle_skip(e)
 
 
-def _our_flags(fixture, outf, evalf, v):
+def _our_flags(fixture, outf, evalf, v, objects="obj_000001,obj_000002"):
     return [
         "--data", os.path.join(fixture, "data") + "_none",  # != datatest: no split
         "--datatest", os.path.join(fixture, "data"),
         "--datameshes", os.path.join(fixture, "models"),
-        "--object", "obj_000001,obj_000002", "--modelname", v["model"],
+        "--object", objects, "--modelname", v["model"],
         "--estimate_confidence", str(v["confidence"]), "--estimate_coords", str(v["coords"]),
         "--no_points", "9",
         "--imagesize_test", "240", "320", "--train_vectors_with_ground_truth", "0",
@@ -131,24 +131,31 @@ def test_eval_harness_parity(variant, tmp_path):
 # --------------------------------------------------------------------------
 
 
-def _train_and_export_h5():
-    """Deterministically train the flagship a few adam_tf steps (the shipped
-    production step + optimizer) and export Keras h5. Returns (path, sha)
-    with the sha computed over the ARRAYS (h5 bytes embed timestamps)."""
+def _vars_sha(host_vars):
     import hashlib
-    from functools import partial
 
+    from casapose_tpu.core.checkpoint import flatten_params
+
+    h = hashlib.sha256()
+    for col in ("params", "batch_stats"):
+        for k, v in sorted(flatten_params(host_vars[col]).items()):
+            h.update(k.encode())
+            h.update(np.ascontiguousarray(np.asarray(v, np.float32)).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _train_flagship(no_objects=2):
+    """Deterministically train the flagship a few adam_tf steps (the shipped
+    production step + optimizer); returns (model, host_vars)."""
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import build_synthetic_train_case
-    from casapose_tpu.core.checkpoint import export_keras_h5, flatten_params
     from casapose_tpu.core.optimizer import adam_tf
     from casapose_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from casapose_tpu.train import TrainState, build_train_step
 
-    # eval-scene dims: 2 objects, 9 points, confidence -> ver_dim 27
-    model, variables, cfg, lw, batch = build_synthetic_train_case(no_objects=2, k=9, b=2, h=64, w=64)
+    # eval-scene dims: 9 points, confidence -> ver_dim 27
+    model, variables, cfg, lw, batch = build_synthetic_train_case(no_objects=no_objects, k=9, b=2, h=64, w=64)
     mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
     tx = adam_tf(1e-3)
     params = shard_params(mesh, variables["params"])
@@ -166,28 +173,28 @@ def _train_and_export_h5():
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
-    h = hashlib.sha256()
-    for col in ("params", "batch_stats"):
-        for k, v in sorted(flatten_params(host_vars[col]).items()):
-            h.update(k.encode())
-            h.update(np.ascontiguousarray(np.asarray(v, np.float32)).tobytes())
-    sha = h.hexdigest()[:16]
+    return model, host_vars
 
-    path = os.path.join(REPO, ".cache", "roundtrip", "trained_w.h5")
+
+def _train_and_export_h5(no_objects=2, fname="trained_w.h5"):
+    """Train + export Keras h5. Returns (path, sha) with the sha computed
+    over the ARRAYS (h5 bytes embed timestamps)."""
+    from casapose_tpu.core.checkpoint import export_keras_h5
+
+    model, host_vars = _train_flagship(no_objects)
+    sha = _vars_sha(host_vars)
+    path = os.path.join(REPO, ".cache", "roundtrip", fname)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     export_keras_h5(path, host_vars, model=model)
     return path, sha
 
 
-def test_trained_h5_round_trip(tmp_path):
-    """Train 3 real optimizer steps here -> export result_w-style Keras h5
-    -> the REFERENCE's actual test_casapose.py evaluates it -> its per-image
-    losses and summary metrics must match OUR evaluation of the same file.
-
-    Also asserts (via the oracle's load-checksum hook) that the reference's
-    ``load_weights(by_name=True)`` actually absorbed our arrays — a silently
-    skipped group (wrong name/order/shape) would leave random-init weights
-    and a diverging checksum."""
+def _assert_round_trip(h5_path, sha, n_obj, tmp_path, fixture_extra=()):
+    """Shared round-trip assertion: the REFERENCE's actual test_casapose.py
+    evaluates our exported h5 on an n_obj scene; its per-image losses and
+    summary metrics must match OUR evaluation of the same file, and its
+    load-checksum must prove it absorbed our arrays verbatim (a silently
+    skipped by_name group would leave random-init weights)."""
     import json as _json
 
     import h5py
@@ -195,10 +202,11 @@ def test_trained_h5_round_trip(tmp_path):
     from casapose_tpu.eval import run_evaluation
     from casapose_tpu.utils.config import parse_config
 
-    h5_path, sha = _train_and_export_h5()
-    argv = ["eval", "--weights-h5", h5_path, "--weights-sha", sha]
+    argv = ["eval", "--weights-h5", h5_path, "--weights-sha", sha] + list(fixture_extra)
+    if n_obj != 2:
+        argv += ["--n-obj", str(n_obj)]
     try:
-        fixture = ensure_fixtures([argv], timeout=1500)[0]
+        fixture = ensure_fixtures([argv], timeout=1800)[0]
     except RuntimeError as e:
         oracle_skip(e)
 
@@ -218,7 +226,8 @@ def test_trained_h5_round_trip(tmp_path):
     ref = _read_losses(os.path.join(fixture, "ref_eval", "loss_test_eval.csv"))
     our_out = str(tmp_path / "our_out")
     our_eval = str(tmp_path / "our_eval")
-    opt = parse_config(_our_flags(fixture, our_out, our_eval, v))
+    objects = ",".join(f"obj_{i:06d}" for i in range(1, n_obj + 1))
+    opt = parse_config(_our_flags(fixture, our_out, our_eval, v, objects=objects))
     result = run_evaluation(opt)
     ours = _read_losses(os.path.join(our_eval, "loss_test_eval.csv"))
     assert ref.shape == ours.shape
@@ -247,3 +256,51 @@ def test_trained_h5_round_trip(tmp_path):
     assert ref_2d is not None and ref_3d is not None
     assert float(np.mean(result["err_2d"])) == pytest.approx(ref_2d, abs=1e-6)
     assert float(np.mean(result["err_3d"])) == pytest.approx(ref_3d, abs=1e-6)
+
+
+def test_trained_h5_round_trip(tmp_path):
+    """Train 3 real optimizer steps here -> export result_w-style Keras h5
+    -> the reference harness evaluates it (flagship 2-object config)."""
+    h5_path, sha = _train_and_export_h5()
+    _assert_round_trip(h5_path, sha, 2, tmp_path)
+
+
+def test_trained_h5_round_trip_13obj(tmp_path):
+    """The config_13-scale round trip (VERDICT r4 item 8): a 13-object
+    flagship trained here round-trips through the reference harness on a
+    13-object scene (seg head 14 wide, 13 CLADE rows + background)."""
+    h5_path, sha = _train_and_export_h5(no_objects=13, fname="trained_w_13.h5")
+    _assert_round_trip(h5_path, sha, 13, tmp_path)
+
+
+def test_trained_h5_round_trip_surgery(tmp_path):
+    """Surgery-expanded round trip (VERDICT r4 item 8): train a 2-object
+    net here, expand it to 3 objects with the SHIPPED expansion surgery
+    (core/checkpoint.py::apply_expansion_surgery — seg-conv columns + the
+    five CLADE tables, reference train_casapose.py:439-447), export the
+    surgered Keras h5, and round-trip THAT through the reference harness
+    on a 3-object scene. Proves surgery output is a first-class citizen of
+    the reference ecosystem, not just parity-equal arrays."""
+    import jax
+
+    from casapose_tpu.core.checkpoint import apply_expansion_surgery, export_keras_h5
+    from casapose_tpu.models.registry import get_model
+    from casapose_tpu.train import init_model
+
+    _model2, trained_vars = _train_flagship(no_objects=2)
+
+    # Fresh 3-object net (same ver_dim: confidence head size is per-point),
+    # then copy objects 1,2 from the trained backup — object 3 keeps its
+    # fresh init, exactly the reference's expand-to-more-objects flow.
+    model3 = get_model("casapose_c_gcu5", ver_dim=3 * 9, seg_dim=1 + 3)
+    vars3 = init_model(model3, (64, 64), train_vectors_with_ground_truth=True, seed=7)
+    vars3 = jax.device_get(vars3)
+    objects_to_copy = np.array([[0, 0], [1, 1], [2, 2]], np.int32)
+    params3 = apply_expansion_surgery(vars3["params"], trained_vars["params"], objects_to_copy)
+    host_vars = {"params": params3, "batch_stats": vars3.get("batch_stats", {})}
+
+    sha = _vars_sha(host_vars)
+    h5_path = os.path.join(REPO, ".cache", "roundtrip", "surgered_w_3.h5")
+    os.makedirs(os.path.dirname(h5_path), exist_ok=True)
+    export_keras_h5(h5_path, host_vars, model=model3)
+    _assert_round_trip(h5_path, sha, 3, tmp_path)

@@ -26,6 +26,21 @@ OBJECTS = ["obj_000001", "obj_000002"]
 SEG_IDS = {"obj_000001": 100, "obj_000002": 200}
 
 
+def object_names(n=None):
+    """Object list for an n-object scene; None = the legacy 2-object scene
+    (whose on-disk bytes are pinned by committed oracle fixture keys)."""
+    if n is None:
+        return OBJECTS
+    return [f"obj_{i:06d}" for i in range(1, n + 1)]
+
+
+def _seg_ids(objects):
+    if objects == OBJECTS:
+        return dict(SEG_IDS)
+    # Custom lists (e.g. the 13-object config): spaced uint8 ids.
+    return {name: 15 * (i + 1) for i, name in enumerate(objects)}
+
+
 def write_ply(path, verts):
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
@@ -55,11 +70,12 @@ def _diameter(verts):
     return float(np.sqrt(d2.max()))
 
 
-def make_meshes(root):
+def make_meshes(root, objects=None):
+    objects = objects or OBJECTS
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(0)
     info = {}
-    for name in OBJECTS:
+    for name in objects:
         d = os.path.join(root, name)
         os.makedirs(d, exist_ok=True)
         verts = rng.uniform(-30, 30, (50, 3))  # mm scale, like LM models
@@ -77,10 +93,13 @@ def project(pts3d, RT):
     return uv[:, :2] / uv[:, 2:]
 
 
-def make_scene(scene_dir, mesh_root, n_images=4):
+def make_scene(scene_dir, mesh_root, n_images=4, objects=None):
     from PIL import Image
     from scipy.spatial.transform import Rotation
 
+    legacy = objects is None or objects == OBJECTS
+    objects = objects or OBJECTS
+    seg_ids = _seg_ids(objects)
     os.makedirs(scene_dir, exist_ok=True)
     # _object_settings: fixed transform scales mm -> m (0.01 scale + flip, as
     # the converter writes) — use 0.001 scale identity here.
@@ -91,11 +110,11 @@ def make_scene(scene_dir, mesh_root, n_images=4):
                 "exported_objects": [
                     {
                         "class": name,
-                        "segmentation_class_id": SEG_IDS[name],
+                        "segmentation_class_id": seg_ids[name],
                         # stored row-major; loader transposes
                         "fixed_model_transform": fixed.T.tolist(),
                     }
-                    for name in OBJECTS
+                    for name in objects
                 ]
             },
             f,
@@ -111,24 +130,37 @@ def make_scene(scene_dir, mesh_root, n_images=4):
         )
 
     rng = np.random.default_rng(42)
-    kp_mesh = {name: read_ply(os.path.join(mesh_root, name, name + "_keypoints.ply")) for name in OBJECTS}
+    kp_mesh = {name: read_ply(os.path.join(mesh_root, name, name + "_keypoints.ply")) for name in objects}
     for i in range(n_images):
         img = rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
         seg = np.zeros((IMG_H, IMG_W), np.uint8)
-        objects = []
-        for oi, name in enumerate(OBJECTS):
-            Rm = Rotation.random(random_state=i * 10 + oi).as_matrix()
-            t = np.array([0.02 * (oi - 0.5), 0.01, 0.5])
+        gt_objects = []
+        for oi, name in enumerate(objects):
+            if legacy:
+                Rm = Rotation.random(random_state=i * 10 + oi).as_matrix()
+                t = np.array([0.02 * (oi - 0.5), 0.01, 0.5])
+                blob = 25
+            else:
+                # Many-object scenes (e.g. the 13-object config): place
+                # each object on a 5-per-row pixel grid by back-projecting
+                # the grid cell at Z=0.5 m, so blobs never overlap and
+                # every object stays fully visible.
+                Rm = Rotation.random(random_state=i * 100 + oi).as_matrix()
+                px = 40.0 + 60.0 * (oi % 5)
+                py = 40.0 + 80.0 * (oi // 5)
+                z = 0.5
+                t = np.array([(px - K[0, 2]) / K[0, 0] * z, (py - K[1, 2]) / K[1, 1] * z, z])
+                blob = 18
             RT = np.concatenate([Rm, t[:, None]], axis=1)
             kp3d_m = kp_mesh[name] @ np.diag([0.001] * 3)  # fixed transform applied
             kp2d = project(kp3d_m, RT)
             # paint a blob roughly at the object center
             cx, cy = kp2d.mean(axis=0).astype(int)
-            y0, y1 = max(cy - 25, 0), min(cy + 25, IMG_H)
-            x0, x1 = max(cx - 25, 0), min(cx + 25, IMG_W)
-            seg[y0:y1, x0:x1] = SEG_IDS[name]
+            y0, y1 = max(cy - blob, 0), min(cy + blob, IMG_H)
+            x0, x1 = max(cx - blob, 0), min(cx + blob, IMG_W)
+            seg[y0:y1, x0:x1] = seg_ids[name]
             q = Rotation.from_matrix(Rm).as_quat()  # xyzw
-            objects.append(
+            gt_objects.append(
                 {
                     "class": name,
                     "visibility": 1.0,
@@ -136,10 +168,10 @@ def make_scene(scene_dir, mesh_root, n_images=4):
                     "quaternion_xyzw": q.tolist(),
                     "keypoints_2d": kp2d.tolist(),
                     "keypoints_3d": kp3d_m.tolist(),
-                    "px_count_all": int((seg == SEG_IDS[name]).sum()),
+                    "px_count_all": int((seg == seg_ids[name]).sum()),
                 }
             )
         Image.fromarray(img).save(os.path.join(scene_dir, f"{i:06d}.png"))
         Image.fromarray(seg).save(os.path.join(scene_dir, f"{i:06d}.seg.png"))
         with open(os.path.join(scene_dir, f"{i:06d}.json"), "w") as f:
-            json.dump({"objects": objects}, f)
+            json.dump({"objects": gt_objects}, f)

@@ -309,21 +309,25 @@ def cmd_eval(args):
     ref = _setup_env()
     import tensorflow as tf
 
-    from synthetic_scene import OBJECTS, make_meshes, make_scene
+    from synthetic_scene import make_meshes, make_scene, object_names
 
     out = args.out
     mesh_root = os.path.join(out, "models")
     data_root = os.path.join(out, "data")
     ref_out = os.path.join(out, "ref_out")
     ref_eval = os.path.join(out, "ref_eval")
-    make_meshes(mesh_root)
-    make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=args.images)
+    # --n-obj N builds an N-object scene (e.g. 13 = the config_13-scale
+    # round trip); 0 keeps the legacy 2-object scene whose bytes the
+    # committed fixture keys pin.
+    objects = object_names(getattr(args, "n_obj", 0) or None)
+    make_meshes(mesh_root, objects)
+    make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=args.images, objects=objects)
     os.makedirs(os.path.join(ref_out, "frozen_model"), exist_ok=True)
 
     from casapose.pose_models.tfkeras import Classifiers
 
     tf.random.set_seed(0)
-    n_obj = len(OBJECTS)
+    n_obj = len(objects)
     confidence = bool(args.confidence)
     if getattr(args, "weights_h5", None):
         # External weights (the JAX framework's export_keras_h5 output):
@@ -340,9 +344,20 @@ def cmd_eval(args):
         # (wrong group name / order / shape) leaves random-init weights,
         # which this checksum exposes directly.
         _orig_load = tf.keras.Model.load_weights
+        _planted = {
+            os.path.abspath(os.path.join(out, "weights.h5")),
+            os.path.abspath(os.path.join(ref_out, "frozen_model", "weights.h5")),
+        }
 
         def _load_and_checksum(self, *a, **k):
             r = _orig_load(self, *a, **k)
+            # Checksum ONLY the load of the planted external h5: if the
+            # harness ever loads weights again (second net, retry), the
+            # record must keep reflecting the load the round-trip test
+            # asserts on, not whatever came last (ADVICE r4).
+            fp = a[0] if a else k.get("filepath")
+            if fp is None or os.path.abspath(str(fp)) not in _planted:
+                return r
             try:
                 import numpy as _np
 
@@ -382,7 +397,7 @@ def cmd_eval(args):
         os.path.join(ref, "test_casapose.py"),
         "--data", data_root + "_none",  # != datatest: no validation split
         "--datatest", data_root, "--datameshes", mesh_root,
-        "--object", ",".join(OBJECTS), "--modelname", args.model,
+        "--object", ",".join(objects), "--modelname", args.model,
         "--backbonename", "resnet18",
         "--estimate_confidence", str(int(confidence)),
         "--estimate_coords", str(args.coords), "--no_points", str(args.points),
@@ -713,6 +728,7 @@ def build_parser():
     ev.add_argument("--extra", default=None, help="extra reference eval flags, comma-joined")
     ev.add_argument("--weights-h5", default=None, help="evaluate an EXTERNAL Keras h5 (JAX-side export) instead of seeding one")
     ev.add_argument("--weights-sha", default=None, help="content hash of --weights-h5 (cache-key only)")
+    ev.add_argument("--n-obj", type=int, default=0, help="scene object count (0 = legacy 2-object scene)")
     ev.set_defaults(func=cmd_eval)
 
     bp = sub.add_parser("bpnp")

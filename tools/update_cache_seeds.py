@@ -29,7 +29,9 @@ TOOLS = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(TOOLS)
 
 
-def sync_xla(max_bytes):
+def sync_xla(max_bytes, prune="auto"):
+    """prune: "auto" (prune unless the live cache looks cold), "never", or
+    "force" (prune regardless — only after a verified full warm pass)."""
     live = os.path.join(REPO, ".jax_cache")
     bench = os.path.join(REPO, "bench_cache")
     seed = os.path.join(REPO, "suite_cache_seed", "xla")
@@ -61,9 +63,21 @@ def sync_xla(max_bytes):
         total += size
         n += 1
     # Drop seed entries not selected this run (stale keys, over-budget
-    # leftovers, entries the size filter now excludes).
-    for f in os.listdir(seed):
-        if f not in selected:
+    # leftovers, entries the size filter now excludes) — but only when the
+    # live cache plausibly came from a FULL warm suite pass: pruning after a
+    # partial run would silently drop still-valid committed seeds
+    # (ADVICE r4). Heuristic: the selected set must cover at least half the
+    # existing seed entries.
+    existing = set(os.listdir(seed))
+    stale = existing - selected
+    if prune == "auto" and stale and len(selected) < 0.5 * len(existing):
+        print(
+            f"xla seed: NOT pruning {len(stale)} unselected entries — live cache "
+            f"looks cold ({len(selected)} selected vs {len(existing)} existing); "
+            "run the full suite warm first, or pass --prune-anyway"
+        )
+    elif prune in ("auto", "force"):
+        for f in stale:
             os.remove(os.path.join(seed, f))
     return n, total
 
@@ -147,8 +161,13 @@ def sync_oracle():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-xla-mb", type=float, default=400.0)
+    ap.add_argument("--no-prune", action="store_true",
+                    help="never remove existing seed entries")
+    ap.add_argument("--prune-anyway", action="store_true",
+                    help="prune unselected entries even when the live cache looks cold")
     args = ap.parse_args()
-    n, total = sync_xla(int(args.max_xla_mb * 1e6))
+    prune = "never" if args.no_prune else ("force" if args.prune_anyway else "auto")
+    n, total = sync_xla(int(args.max_xla_mb * 1e6), prune=prune)
     print(f"xla seed: {n} entries, {total/1e6:.1f} MB")
     on, ot = sync_oracle()
     print(f"oracle seed: {on} new fixture dirs, {ot/1e6:.1f} MB copied")
