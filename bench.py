@@ -322,6 +322,19 @@ def train_bench(peak):
     step, state, dev_batch, _ = build_train_bench_case(B=B, compute_dtype=dtype)
     rngk = jax.random.PRNGKey(0)
 
+    try:  # seed staleness check, same contract as the inference headline
+        from casapose_tpu.core.cache import (
+            check_seed_fingerprint,
+            load_seed_manifest,
+            lowered_fingerprint,
+        )
+
+        fp = lowered_fingerprint(step.lower(state, dev_batch, rngk))
+        good, msg = check_seed_fingerprint(load_seed_manifest(), f"train_b{B}_{dtype}", fp)
+        _phase(("seed check ok — " if good else "SEED CHECK FAILED — ") + msg)
+    except Exception as e:
+        _phase(f"train seed check skipped: {str(e)[:150]}")
+
     state, losses = step(state, dev_batch, rngk)
     np.asarray(losses)
     for _ in range(10):  # tunnel dispatch warmup (see memory: axon timing)

@@ -38,29 +38,43 @@ def main():
         make_meshes(mesh_root)
         make_scene(os.path.join(data_root, "000000"), mesh_root, n_images=n_images)
 
+        # CASAPOSE_EVAL_CACHE=1: run each size twice with --cache_records 1.
+        # The warm pass shows the harness rate once decode/warp/GT-parse
+        # leave the per-pass path — i.e. what a multi-core TPU-VM host gets
+        # on pass 1, measured on this 1-core host (VERDICT r4 item 5).
+        use_cache = os.environ.get("CASAPOSE_EVAL_CACHE") == "1"
         for batch in batches:
-            outf = os.path.join(root, f"out_b{batch}")
-            evalf = os.path.join(root, f"eval_b{batch}")
-            opt = parse_config([
-                "--data", data_root + "_none", "--datatest", data_root,
-                "--datameshes", mesh_root, "--object", "obj_000001,obj_000002",
-                "--modelname", "casapose_c_gcu5", "--estimate_confidence", "1",
-                "--estimate_coords", "1", "--no_points", "9",
-                "--imagesize_test", "480", "640",
-                "--train_vectors_with_ground_truth", "0",
-                "--outf", outf, "--evalf", evalf, "--min_object_size_test", "1",
-                "--workers", "2", "--prefetch", "4", "--manualseed", "3",
-                "--batchsize_test", str(batch),
-            ])
-            res = run_evaluation(opt)
-            mt = res["mean_time"]  # per-batch step time, warmup batches skipped
-            import numpy as np
+            passes = 2 if use_cache else 1
+            for p in range(passes):
+                outf = os.path.join(root, f"out_b{batch}")
+                evalf = os.path.join(root, f"eval_b{batch}_p{p}")
+                flags = [
+                    "--data", data_root + "_none", "--datatest", data_root,
+                    "--datameshes", mesh_root, "--object", "obj_000001,obj_000002",
+                    "--modelname", "casapose_c_gcu5", "--estimate_confidence", "1",
+                    "--estimate_coords", "1", "--no_points", "9",
+                    "--imagesize_test", "480", "640",
+                    "--train_vectors_with_ground_truth", "0",
+                    "--outf", outf, "--evalf", evalf, "--min_object_size_test", "1",
+                    "--workers", "2", "--prefetch", "4", "--manualseed", "3",
+                    "--batchsize_test", str(batch),
+                ]
+                if use_cache:
+                    flags += ["--cache_records", "1"]
+                opt = parse_config(flags)
+                res = run_evaluation(opt)
+                mt = res["mean_time"]  # per-batch step time, warmup batches skipped
+                import numpy as np
 
-            print(
-                f"batchsize_test={batch:3d}  {mt*1e3:7.1f} ms/batch  "
-                f"{batch/mt:6.1f} img/s  (3d_valid_mean={float(np.mean(res['err_3d'])):.4f})",
-                flush=True,
-            )
+                wall_rate = res["total_images"] / max(res["wall_seconds"], 1e-9)
+                shares = " ".join(f"{k}={v:.1f}s" for k, v in res["phase_seconds"].items())
+                label = f" pass{p+1}(cache)" if use_cache else ""
+                print(
+                    f"batchsize_test={batch:3d}{label}  {mt*1e3:7.1f} ms/batch (step)  "
+                    f"{batch/mt:6.1f} img/s (step)  {wall_rate:6.1f} img/s end-to-end  [{shares}]  "
+                    f"(3d_valid_mean={float(np.mean(res['err_3d'])):.4f})",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -354,6 +354,13 @@ def run_evaluation(opt):
     total_images = 0
     sums = {k: np.zeros(no_objects) for k in ("v2d", "v3d", "gt", "fp", "e2d", "e3d", "missed")}
     times = []
+    # Wall-clock phase shares (VERDICT r4 item 5): where harness time goes —
+    # loader waits (fetch), host->device transfer, the jitted step, and
+    # host-side IO (CSVs, BOP poses, visual dumps). The loader runs in
+    # producer threads, so "fetch" is the time the loader could NOT hide
+    # behind the device step — the harness's structural bottleneck signal.
+    phase = {"fetch": 0.0, "h2d": 0.0, "step": 0.0, "host_io": 0.0}
+    wall0 = time.time()
 
     print(f"Test Batches: {test_batches}")
     profile_dir = getattr(opt, "profile_dir", None)
@@ -368,14 +375,20 @@ def run_evaluation(opt):
                 print(f"wrote profiler trace to {profile_dir}")
                 profile_dir = None
                 prof_active = False
+        tf0 = time.time()
         batch = testingdata.get_next()
+        phase["fetch"] += time.time() - tf0
         b_actual = batch["img"].shape[0]
+        th0 = time.time()
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+        phase["h2d"] += time.time() - th0
         t0 = time.time()
         out = step(variables, dev_batch)
         out["losses"].block_until_ready()
         dt = time.time() - t0
         times.append(dt)
+        phase["step"] += dt
+        tio0 = time.time()
 
         losses = np.asarray(out["losses"])
         ps = [np.asarray(x) for x in out["pose_stats"]]
@@ -473,6 +486,7 @@ def run_evaluation(opt):
                     proxy_dist_h[bi], tseg_h[bi], img_dir, no_features=opt.no_points
                 )
                 save_mask_by_proxy_loss(proxy_obj_h[bi], tseg_h[bi], img_dir)
+        phase["host_io"] += time.time() - tio0
 
     if prof_active:  # fewer than 7 batches: stop at loop end
         jax.profiler.stop_trace()
@@ -520,10 +534,20 @@ def run_evaluation(opt):
         s += f",{err_3d.mean():.4f}\n"
         f.write(s)
 
+    wall = time.time() - wall0
+    if total_images:
+        shares = ", ".join(f"{k} {v:.1f}s ({100*v/max(wall,1e-9):.0f}%)" for k, v in phase.items())
+        print(
+            f"harness wall {wall:.1f}s for {total_images} images "
+            f"({total_images/max(wall,1e-9):.1f} img/s end-to-end): {shares}"
+        )
     return {
         "loss": test_loss,
         "err_2d": err_2d,
         "err_3d": err_3d,
         "precision": precision,
         "mean_time": mean_time,
+        "wall_seconds": wall,
+        "total_images": total_images,
+        "phase_seconds": phase,
     }
