@@ -214,8 +214,54 @@ def ls_voting(
     # buffer entirely: 65.4 -> 78.3 img/s end-to-end at 480x640 B16.
     # All forms stay inside the 1e-3 px float64-reference parity band
     # (tests/test_tf_parity.py::test_ls_voting_parity, run per-form);
-    # CASAPOSE_VOTING_FORM={stack,concat} kept for measurement.
+    # CASAPOSE_VOTING_FORM={stack,concat,bf16c} kept for measurement
+    # (bf16c: centered bf16 operands, see below — accuracy is px-scale,
+    # not the 1e-3 parity band; opt-in only).
     form = os.environ.get("CASAPOSE_VOTING_FORM", "multi")
+    if form == "bf16c":
+        # bf16 operands with per-class coordinate centering (VERDICT r4
+        # item 6b). Plain bf16 feats were measured to move voted points by
+        # ~32 px: p is an ABSOLUTE position (|c| up to w/h ~ 1.33), so the
+        # q sums cancel at full coordinate magnitude. Centering solves the
+        # shifted system R p' = q' with c' = c - c0[class] (exactly
+        # p = p' + c0, since q' = q - R c0): |c'| is the blob radius
+        # (~0.05-0.2), so bf16's 8-bit mantissa rounds a quantity ~10x
+        # smaller. Because ``hot`` is one-hot over classes, the per-pixel
+        # center c0p = sum_o hot[..,o] * c0[o] makes the centered features
+        # class-independent again — the same six mask-shared contractions
+        # apply, with bf16 inputs feeding the MXU at double rate and half
+        # the operand bytes, f32 accumulation (preferred_element_type).
+        # The tiny centroid reductions and the 2x2 solve stay f32.
+        mass0 = jnp.sum(hot, axis=(1, 2))  # [b,oc]
+        inv_m0 = divide_no_nan(1.0, mass0)
+        cy1 = cy[..., 0]  # [1,h,1]
+        cx1 = cx[..., 0]  # [1,1,w]
+        c0y = jnp.sum(hot * cy1[..., None], axis=(1, 2)) * inv_m0  # [b,oc]
+        c0x = jnp.sum(hot * cx1[..., None], axis=(1, 2)) * inv_m0
+        c0py = jnp.einsum("bhwo,bo->bhw", hot, c0y)  # per-pixel class center
+        c0px = jnp.einsum("bhwo,bo->bhw", hot, c0x)
+        cyp = (cy1 - c0py)[..., None]  # [b,h,w,1]
+        cxp = (cx1 - c0px)[..., None]
+        qyp = a * cyp + bb * cxp
+        qxp = bb * cyp + d * cxp
+        hot16 = hot.astype(jnp.bfloat16)
+        parts = [
+            jnp.einsum(
+                "bhwo,bhwk->bok", hot16, (f * wgt).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            for f in (a, bb, d, qyp, qxp, ones)
+        ]
+        S = jnp.stack(parts, axis=-1)  # [b,oc,k,6]
+        mass = jnp.maximum(S[..., 5], 1e-20)
+        py, px = _pinv_2x2_solve(
+            S[..., 0] / mass, S[..., 1] / mass, S[..., 2] / mass,
+            S[..., 3] / mass, S[..., 4] / mass,
+        )
+        py = py + c0y[..., None]  # un-shift: p = p' + c0
+        px = px + c0x[..., None]
+        pts = jnp.stack([py, px], axis=-1).astype(jnp.float32)
+        return pts * jnp.float32(h)
     if form == "concat":
         # Channel-blocked layout: [b,h,w,6k] with 6 contiguous k-blocks.
         # The [..,k,6] stack lowers to chained full-buffer
