@@ -91,4 +91,17 @@ def setup_compilation_cache(repo_root=None):
     seed_from(os.path.join(repo_root, "suite_cache_seed", "xla"), cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Pallas kernels serialize their MLIR body (locations included) into the
+    # tpu_custom_call backend_config, and with jax's default
+    # full-traceback locations that body embeds the CALLSITE STACK of the
+    # trace — so the same program lowered from bench.py, from
+    # tools/refresh_bench_seeds.py, or after an unrelated helper jit got a
+    # different HLO byte-string and therefore a DIFFERENT persistent-cache
+    # key (the outer module is strip-debuginfo'd for the key, the inner
+    # payload is an opaque constant and is not). Seeds compiled by the
+    # refresh tool could then never be hit by the driver's bench run.
+    # Single-user-frame locations keep only the op's own frame in the
+    # kernel source file, which is callsite-independent; verified to make
+    # the lowering byte-identical across entry points and trace orders.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     return cache_dir

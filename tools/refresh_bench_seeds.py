@@ -45,7 +45,10 @@ def _log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scan", default="16,32,64", help="inference batch sizes to warm")
+    # B64 is excluded by default: its cold compile exceeds what the remote
+    # compile service will serve (observed: 3889s then "Unexpected EOF"),
+    # and it OOMs single-chip at 480x640 anyway.
+    ap.add_argument("--scan", default="16,32", help="inference batch sizes to warm")
     ap.add_argument("--no-train", action="store_true", help="skip the train-step entry")
     ap.add_argument(
         "--train-batch", type=int, default=int(os.environ.get("CASAPOSE_TRAIN_BATCH", "32"))
@@ -120,16 +123,24 @@ def main():
 
     # bench_cache/ := exactly the touched keys that exist as live-cache files
     # (keys under jax_persistent_cache_min_compile_time never hit disk).
+    # A touched key is "{module_name}-{hash}" (jax._src.cache_key.get), but
+    # the LRU cache backend stores it as "{key}-cache"
+    # (jax._src.lru_cache._CACHE_SUFFIX) — the first round-5 refresh looked
+    # up the bare key, matched nothing, and shipped an EMPTY seed dir after
+    # two hours of compiling. Try both names.
     bench_dir = os.path.join(REPO, "bench_cache")
     os.makedirs(bench_dir, exist_ok=True)
     keep, total = set(), 0
     for key in sorted(touched):
-        src = os.path.join(cache_dir, key)
-        if not os.path.isfile(src):
+        for fname in (key + "-cache", key):
+            src = os.path.join(cache_dir, fname)
+            if os.path.isfile(src):
+                break
+        else:
             continue
-        keep.add(key)
+        keep.add(fname)
         total += os.path.getsize(src)
-        dst = os.path.join(bench_dir, key)
+        dst = os.path.join(bench_dir, fname)
         if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
             shutil.copyfile(src, dst)
     removed = 0
