@@ -291,11 +291,15 @@ def main():
     # Re-emit before the train subprocess: if it wedges past the driver's
     # budget, the scan/latency/roofline enrichments still land.
     print(json.dumps(record), flush=True)
-    try:
-        _phase("train bench subprocess")
-        record.update(run_train_bench_isolated(peak))
-    except Exception as e:  # training bench is additive; never break the line
-        record["train_error"] = str(e)[:200]
+    # CASAPOSE_BENCH_TRAIN=0 skips the train phase: measurement runs that
+    # vary inference-only knobs (e.g. CASAPOSE_VOTING_FORM) would otherwise
+    # pay a cold train-step compile for an HLO nobody ships.
+    if os.environ.get("CASAPOSE_BENCH_TRAIN", "1") != "0":
+        try:
+            _phase("train bench subprocess")
+            record.update(run_train_bench_isolated(peak))
+        except Exception as e:  # training bench is additive; never break the line
+            record["train_error"] = str(e)[:200]
     print(json.dumps(record), flush=True)
 
 
