@@ -61,6 +61,14 @@ def main():
                 ]
                 if use_cache:
                     flags += ["--cache_records", "1"]
+                # CASAPOSE_EVAL_SERVING=1: the deployment configuration —
+                # bf16 convs + TPU-default matmul precision, the same
+                # precision policy as the headline bench. The default
+                # (f32 + highest) is the PARITY configuration, matching the
+                # TF reference to 4-5 decimals (tests/test_reference_e2e.py)
+                # at a measured throughput cost.
+                if os.environ.get("CASAPOSE_EVAL_SERVING") == "1":
+                    flags += ["--compute_dtype", "bfloat16", "--matmul_precision", "default"]
                 opt = parse_config(flags)
                 res = run_evaluation(opt)
                 mt = res["mean_time"]  # per-batch step time, warmup batches skipped
@@ -71,7 +79,8 @@ def main():
                 label = f" pass{p+1}(cache)" if use_cache else ""
                 print(
                     f"batchsize_test={batch:3d}{label}  {mt*1e3:7.1f} ms/batch (step)  "
-                    f"{batch/mt:6.1f} img/s (step)  {wall_rate:6.1f} img/s end-to-end  [{shares}]  "
+                    f"{batch/mt:6.1f} img/s (step)  {wall_rate:6.1f} img/s end-to-end  "
+                    f"{res.get('steady_img_per_sec', 0.0):6.1f} img/s steady  [{shares}]  "
                     f"(3d_valid_mean={float(np.mean(res['err_3d'])):.4f})",
                     flush=True,
                 )

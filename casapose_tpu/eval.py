@@ -380,6 +380,11 @@ def run_evaluation(opt):
     # loop for phase attribution runs.
     pipelined = os.environ.get("CASAPOSE_EVAL_PIPELINE", "1") != "0"
     mark = [wall0]
+    # Startup-vs-steady split: batch 0 absorbs trace + compile (or warm
+    # executable deserialization + device upload) — one-time costs that
+    # dominate short runs and vanish over a real dataset. t_first marks the
+    # end of batch 0's consume; the steady-state rate is measured after it.
+    t_first = [None, 0]
 
     def _dispatch(batch_idx):
         if prof["dir"]:
@@ -508,6 +513,9 @@ def run_evaluation(opt):
                 )
                 save_mask_by_proxy_loss(proxy_obj_h[bi], tseg_h[bi], img_dir)
         phase["host_io"] += time.time() - tio0
+        if t_first[0] is None:
+            t_first[0] = time.time()
+            t_first[1] = b_actual
 
     pending = None
     for bi_ in range(int(test_batches)):
@@ -520,6 +528,7 @@ def run_evaluation(opt):
             _consume(*entry)
     if pending is not None:
         _consume(*pending)
+    loop_end = time.time()
 
     if prof["active"]:  # fewer than 7 batches: stop at loop end
         jax.profiler.stop_trace()
@@ -568,12 +577,21 @@ def run_evaluation(opt):
         f.write(s)
 
     wall = time.time() - wall0
+    steady_img_per_sec = 0.0
     if total_images:
         shares = ", ".join(f"{k} {v:.1f}s ({100*v/max(wall,1e-9):.0f}%)" for k, v in phase.items())
         print(
             f"harness wall {wall:.1f}s for {total_images} images "
             f"({total_images/max(wall,1e-9):.1f} img/s end-to-end): {shares}"
         )
+        if t_first[0] is not None and total_images > t_first[1]:
+            steady_images = total_images - t_first[1]
+            steady_wall = max(loop_end - t_first[0], 1e-9)
+            steady_img_per_sec = steady_images / steady_wall
+            print(
+                f"steady-state {steady_img_per_sec:.1f} img/s over {steady_images} images "
+                f"(startup {t_first[0] - wall0:.1f}s: trace + executable load + batch 0)"
+            )
     return {
         "loss": test_loss,
         "err_2d": err_2d,
@@ -583,4 +601,5 @@ def run_evaluation(opt):
         "wall_seconds": wall,
         "total_images": total_images,
         "phase_seconds": phase,
+        "steady_img_per_sec": steady_img_per_sec,
     }
