@@ -119,6 +119,48 @@ def _import_and_run(out, meta, fx, gt_seg=False):
     return ours, loaded, skipped, meta["n_weights"]
 
 
+def _phantom_member_pixels(ref_seg):
+    """Pixels affected by the reference's sub-saturation partial-conv quirk.
+
+    The reference's masked PartialConvolution normalizes by
+    ``count_nonzero`` of the *soft* hard-softmax mask patch
+    (`/root/reference/casapose/pose_models/models/_normalization_layers.py:345-352`):
+    a 3x3 neighbor whose logit gap to the center's argmax class is below
+    ~88/1e6 keeps a nonzero (~e-8) softmax mass after the x*1e6 scaling and
+    is COUNTED as a member, shifting the 9/count renormalization by a whole
+    discrete step. Our partial conv counts exact argmax members (the
+    documented deviation in PARITY.md) — identical except on this
+    measure-zero set, which random fixture weights can hit (observed: one
+    64x64 sw5 pixel with a neighbor gap of 1.7e-5 -> count 3 vs 2 ->
+    O(100) output diff on O(600) random-weight activations).
+
+    Returns (affected_full_res [b,h,w] bool, n_lowres) where n_lowres is
+    the number of quirk pixels at the HalfSize resolutions (those spread
+    spatially through later convs and cannot be excluded pointwise).
+    """
+    def affected(seg):
+        b, h, w, _ = seg.shape
+        lm = seg.max(-1, keepdims=True)
+        gap = lm - seg
+        phantom = (gap > 0) & (gap * 1e6 < 104.0)  # nonzero f32 softmax mass (incl. denormals)
+        am = seg.argmax(-1)
+        ph = np.pad(phantom, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        aff = np.zeros((b, h, w), bool)
+        for di in range(3):
+            for dj in range(3):
+                sl = ph[:, di : di + h, dj : dj + w, :]
+                aff |= np.take_along_axis(sl, am[..., None], -1)[..., 0]
+        return aff
+
+    full = affected(ref_seg)
+    n_lowres = 0
+    seg = ref_seg
+    for _ in range(3):  # HalfSize pyramid: stride-2 top-left subsample
+        seg = seg[:, ::2, ::2, :]
+        n_lowres += int(affected(seg).sum())
+    return full, n_lowres
+
+
 @pytest.mark.parametrize("model", ZOO_VARIANTS)
 def test_forward_parity(oracle_fixtures, model):
     out, meta, fx = _forward_fixture(oracle_fixtures, model)
@@ -131,13 +173,27 @@ def test_forward_parity(oracle_fixtures, model):
     d = np.abs(ours - ref)
     # Segmentation logits drive every metric downstream: tight bound.
     assert d[..., :seg_dim].max() < 2e-3, f"seg logits diverge: {d[..., :seg_dim].max()}"
+    # Full-res phantom-member quirk pixels (see _phantom_member_pixels) are
+    # excluded from the vertex comparison: the reference's count_nonzero
+    # renormalization intentionally differs there. Divergence at full res
+    # stays pointwise (the level-5 partial conv is the last spatial op
+    # before the 1x1 heads); low-res quirk pixels would spread, so their
+    # presence fails loudly — regenerate the fixture draw if ever hit.
+    aff, n_lowres = _phantom_member_pixels(ref[..., :seg_dim])
+    assert n_lowres == 0, (
+        f"{n_lowres} phantom-member quirk pixels at HalfSize resolutions — "
+        "fixture draw unusable for pointwise comparison, regenerate"
+    )
+    assert aff.sum() <= 8, f"{aff.sum()} full-res quirk pixels — fixture draw degenerate"
+    keep = ~aff
+    dv = d[..., seg_dim:][keep]
     # Vertex fields accumulate roundoff through ~30 layers; the mean must
     # stay at float32-noise level and the max in the roundoff tail. (The
     # casapose_c fixture amplifies noise the most: its randomly-seeded
     # trainable HalfSize makes the mask pyramid dense, so CLADE mixes all
     # class tables per pixel; verified layer-by-layer to grow smoothly.)
-    assert d[..., seg_dim:].mean() < 1e-3, f"vertex mean diff: {d[..., seg_dim:].mean()}"
-    assert d[..., seg_dim:].max() < 5e-2, f"vertex max diff: {d[..., seg_dim:].max()}"
+    assert dv.mean() < 1e-3, f"vertex mean diff: {dv.mean()}"
+    assert dv.max() < 5e-2, f"vertex max diff: {dv.max()}"
     # The argmax mask (what voting/CLADE consume) must agree everywhere
     # except genuine near-ties.
     flips = (np.argmax(ours[..., :seg_dim], -1) != np.argmax(ref[..., :seg_dim], -1)).mean()
